@@ -1,0 +1,201 @@
+"""Host input pipeline: sharded TFRecords → prefetched device batches.
+
+Parity target: the reference's tf.data ``input_fn`` (SURVEY.md §3.1):
+  list shards → shuffle files → parallel interleave → shuffle records →
+  parse → decode/augment (parallel) → batch → prefetch-to-device.
+
+TPU-native design:
+- **per-host sharding** (SURVEY.md §5.8): host ``h`` of ``H`` reads shard
+  files ``h, h+H, h+2H, ...`` — disjoint by construction, no coordination.
+- **uint8 on the wire**: decode/crop/flip/AutoAugment on host threads,
+  normalize/mixup on device inside the jitted step. H2D ships uint8 NHWC.
+- **checkpointable position** (fixes the reference's silent tf.data state
+  loss on resume, SURVEY.md §5.3): iteration order is a pure function of
+  (seed, epoch); the loader state is just ``(epoch, batches_yielded)`` and
+  restore = deterministic skip without decoding.
+- **double-buffered device prefetch**: a background thread keeps N batches
+  in flight (``jax.device_put`` overlaps the next H2D with current compute).
+
+The C++ loader (cpp/) replaces the decode threads on the perf path; this
+module is the semantics reference and bootstrap.
+"""
+
+from __future__ import annotations
+
+import collections
+import queue as queue_mod
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from axcnn.data.datasets import DatasetInfo
+from axcnn.data.preprocessing import preprocess_train, preprocess_eval
+from axcnn.data.autoaugment import make_autoaugment
+from axcnn.data.tfrecord import TFRecordReader, parse_example, list_shards
+
+LoaderState = collections.namedtuple("LoaderState", ["epoch", "batches_yielded"])
+
+
+class TFRecordImageLoader:
+    """Streams (images uint8 [B,H,W,3], labels int32 [B]) batches."""
+
+    def __init__(
+        self,
+        data_dir: str,
+        info: DatasetInfo,
+        *,
+        batch_size: int,
+        train: bool,
+        image_size: int = 224,
+        autoaugment_type: str = "none",
+        seed: int = 0,
+        host_id: int = 0,
+        num_hosts: int = 1,
+        num_workers: int = 8,
+        shuffle_buffer: int = 4096,
+        drop_remainder: bool = True,
+    ):
+        prefix = info.train_prefix if train else info.eval_prefix
+        all_shards = list_shards(data_dir, prefix)
+        self._shards = all_shards[host_id::num_hosts]
+        if not self._shards:
+            raise ValueError(f"host {host_id}/{num_hosts} got no shards")
+        self._info = info
+        self._bs = batch_size
+        self._train = train
+        self._image_size = image_size
+        self._aa = make_autoaugment(autoaugment_type) if train else None
+        self._seed = seed
+        self._workers = num_workers
+        self._shuffle_buffer = shuffle_buffer
+        self._drop_remainder = drop_remainder
+        self.state = LoaderState(epoch=0, batches_yielded=0)
+
+    # -- deterministic record stream for (seed, epoch) ----------------------
+    def _record_stream(self, epoch: int):
+        rng = np.random.default_rng((self._seed, epoch))
+        shards = list(self._shards)
+        if self._train:
+            rng.shuffle(shards)
+            buf = []
+            for path in shards:
+                for payload in TFRecordReader(path):
+                    buf.append(payload)
+                    if len(buf) >= self._shuffle_buffer:
+                        idx = int(rng.integers(0, len(buf)))
+                        buf[idx], item = buf[-1], buf[idx]
+                        buf.pop()
+                        yield item
+            rng.shuffle(buf)
+            yield from buf
+        else:
+            for path in shards:
+                yield from TFRecordReader(path)
+
+    def _prepare(self, payload: bytes, rng_seed):
+        feats = parse_example(payload)
+        image_bytes = feats["image/encoded"][0]
+        label = int(feats["image/class/label"][0])
+        if self._train:
+            rng = np.random.default_rng(rng_seed)
+            img = preprocess_train(image_bytes, rng,
+                                   image_size=self._image_size,
+                                   autoaugment_fn=self._aa)
+        else:
+            img = preprocess_eval(image_bytes, image_size=self._image_size)
+        return img, label
+
+    def __iter__(self):
+        epoch = self.state.epoch
+        skip = self.state.batches_yielded  # deterministic resume
+        while True:
+            stream = self._record_stream(epoch)
+            batch_idx = 0
+            pending = []
+            with ThreadPoolExecutor(self._workers) as pool:
+                def flush(items):
+                    imgs = np.stack([f.result()[0] for f in items])
+                    labels = np.asarray([f.result()[1] for f in items], np.int32)
+                    return {"images": imgs, "labels": labels}
+
+                for rec_idx, payload in enumerate(stream):
+                    # resume: skip whole batches without decoding
+                    if batch_idx < skip:
+                        if (rec_idx + 1) % self._bs == 0:
+                            batch_idx += 1
+                        continue
+                    pending.append(
+                        pool.submit(self._prepare, payload,
+                                    (self._seed, epoch, rec_idx)))
+                    if len(pending) == self._bs:
+                        batch = flush(pending)
+                        pending = []
+                        # state is advanced BEFORE the yield: once the consumer
+                        # holds batch N, state records N batches delivered
+                        # (statements after a yield only run on the next next()).
+                        batch_idx += 1
+                        self.state = LoaderState(epoch, batch_idx)
+                        yield batch
+                if pending and not self._drop_remainder:
+                    batch_idx += 1
+                    self.state = LoaderState(epoch, batch_idx)
+                    yield flush(pending)
+            if not self._train:
+                return
+            epoch += 1
+            skip = 0
+            self.state = LoaderState(epoch, 0)
+
+
+class SyntheticLoader:
+    """The reference's ``--use_synthetic_data`` equivalent: fixed random
+    batches straight from memory, for perf isolation of the compute path."""
+
+    def __init__(self, *, batch_size: int, image_size: int = 224,
+                 num_classes: int = 1000, seed: int = 0, num_batches=None):
+        rng = np.random.default_rng(seed)
+        self._batch = {
+            "images": rng.integers(0, 256, (batch_size, image_size, image_size, 3),
+                                   dtype=np.uint8),
+            "labels": rng.integers(0, num_classes, (batch_size,), dtype=np.int32),
+        }
+        self._num = num_batches
+        self.state = LoaderState(epoch=0, batches_yielded=0)
+
+    def __iter__(self):
+        i = 0
+        while self._num is None or i < self._num:
+            yield self._batch
+            i += 1
+
+
+def device_prefetch(iterator, *, size: int = 2, sharding=None):
+    """Background-thread device prefetch: keeps ``size`` batches in flight.
+
+    With ``sharding`` (a jax.sharding.Sharding), batches land already laid
+    out for the mesh so the jitted step does no re-layout.
+    """
+    import jax
+
+    q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
+    _END = object()
+
+    def _producer():
+        try:
+            for batch in iterator:
+                if sharding is not None:
+                    batch = jax.device_put(batch, sharding)
+                else:
+                    batch = jax.device_put(batch)
+                q.put(batch)
+        finally:
+            q.put(_END)
+
+    t = threading.Thread(target=_producer, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        yield item

@@ -1,0 +1,291 @@
+"""Assembled ResNet (v1 bottleneck family), TPU-first functional builder.
+
+Capability parity with the reference model zoo (``nets/resnet_model.py``,
+SURVEY.md §2 item 2 and §3.5): ResNet-50/101/152 v1 with the full assembly
+knob surface —
+
+- ``use_resnet_d``   : deep 3x(3x3) stem + avgpool-downsample projection
+- ``use_se_block``   : Squeeze-Excite after the last conv of each bottleneck
+- ``use_sk_block``   : Selective-Kernel unit replacing the 3x3 mid-conv
+- ``anti_alias_type``: BlurPool before stride-2 reductions
+                       ('sconv' = residual convs, 'proj' = +projection
+                       shortcut, 'max' = +stem maxpool, 'none')
+- ``use_dropblock``  : DropBlock(block_size=7) on stages 3-4 with scheduled
+                       keep-prob
+- ``zero_gamma``     : last-BN gamma zero-init per block
+- ``bl_alpha/bl_beta``: Big-Little dual-resolution branches [not yet built,
+                       gated with a clear error; SURVEY tags the upstream
+                       wiring K-med]
+
+Design notes (TPU-first, not a TF translation):
+- NHWC activations / HWIO weights end-to-end; bf16 compute via Policy with
+  fp32 params and fp32 normalization statistics.
+- Pure functions over nested-dict pytrees: ``resnet_init`` builds
+  ``(params, state)``; ``resnet_apply`` returns ``(logits, new_state)``.
+  No classes, no global state — the whole model jits and shards as data.
+- Python loops over blocks unroll at trace time into a static XLA graph
+  (shapes are static; XLA fuses BN+ReLU into conv epilogues on the MXU).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from axcnn.core.dtypes import Policy, DEFAULT_POLICY
+from axcnn.ops.conv import conv_init, conv_apply, dense_init, dense_apply
+from axcnn.ops.norm import bn_init, bn_apply
+from axcnn.ops.pooling import max_pool_same, global_avg_pool, avg_pool
+from axcnn.ops.blurpool import blur_pool
+from axcnn.ops.se import se_init, se_apply
+from axcnn.ops.sk import sk_init, sk_apply
+from axcnn.ops.dropblock import dropblock, dropblock_keep_prob
+
+RESNET_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+_STAGE_FILTERS = (64, 128, 256, 512)
+_EXPANSION = 4
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    resnet_size: int = 50
+    num_classes: int = 1000
+    use_resnet_d: bool = False
+    use_se_block: bool = False
+    use_sk_block: bool = False
+    se_ratio: int = 16
+    anti_alias_type: str = "none"  # none | sconv | proj | max
+    anti_alias_filter_size: int = 3
+    use_dropblock: bool = False
+    dropblock_block_size: int = 7
+    dropblock_keep_prob: float = 0.9
+    dropblock_stages: Sequence[int] = (3, 4)  # 1-indexed
+    zero_gamma: bool = False
+    bn_momentum: float = 0.997
+    bl_alpha: int = 0  # Big-Little: 0 disables
+    bl_beta: int = 0
+    width_multiplier: float = 1.0
+
+    def __post_init__(self):
+        if self.resnet_size not in RESNET_BLOCKS:
+            raise ValueError(f"resnet_size must be one of {sorted(RESNET_BLOCKS)}")
+        if self.anti_alias_type not in ("none", "sconv", "proj", "max"):
+            raise ValueError(f"bad anti_alias_type {self.anti_alias_type!r}")
+        if self.bl_alpha or self.bl_beta:
+            raise NotImplementedError(
+                "Big-Little branches are not built yet (SURVEY.md §2: upstream "
+                "wiring is K-med; scheduled for a later milestone)")
+
+    @property
+    def blocks(self):
+        return RESNET_BLOCKS[self.resnet_size]
+
+    def stage_filters(self, stage_idx: int) -> int:
+        return int(_STAGE_FILTERS[stage_idx] * self.width_multiplier)
+
+
+# ---------------------------------------------------------------------------
+# init
+# ---------------------------------------------------------------------------
+
+def _stem_init(key, cfg: ModelConfig, dtype):
+    params, state = {}, {}
+    if cfg.use_resnet_d:
+        # ResNet-D deep stem: 3x3/2 (32) → 3x3 (32) → 3x3 (64)
+        k0, k1, k2 = jax.random.split(key, 3)
+        widths = [(3, 32), (32, 32), (32, 64)]
+        for i, (cin, cout) in enumerate(widths):
+            params[f"conv{i}"] = conv_init((k0, k1, k2)[i], 3, cin, cout, dtype=dtype)
+            params[f"bn{i}"], state[f"bn{i}"] = bn_init(cout, dtype=dtype)
+    else:
+        params["conv0"] = conv_init(key, 7, 3, 64, dtype=dtype)
+        params["bn0"], state["bn0"] = bn_init(64, dtype=dtype)
+    return params, state
+
+
+def _block_init(key, cfg: ModelConfig, in_ch, filters, *, has_proj, dtype):
+    out_ch = filters * _EXPANSION
+    keys = jax.random.split(key, 6)
+    params, state = {}, {}
+
+    if has_proj:
+        params["proj_conv"] = conv_init(keys[0], 1, in_ch, out_ch, dtype=dtype)
+        params["proj_bn"], state["proj_bn"] = bn_init(out_ch, dtype=dtype)
+
+    params["conv1"] = conv_init(keys[1], 1, in_ch, filters, dtype=dtype)
+    params["bn1"], state["bn1"] = bn_init(filters, dtype=dtype)
+
+    if cfg.use_sk_block:
+        params["sk"], state["sk"] = sk_init(keys[2], filters, filters, dtype=dtype)
+    else:
+        params["conv2"] = conv_init(keys[2], 3, filters, filters, dtype=dtype)
+        params["bn2"], state["bn2"] = bn_init(filters, dtype=dtype)
+
+    params["conv3"] = conv_init(keys[3], 1, filters, out_ch, dtype=dtype)
+    params["bn3"], state["bn3"] = bn_init(out_ch, zero_gamma=cfg.zero_gamma, dtype=dtype)
+
+    if cfg.use_se_block:
+        params["se"] = se_init(keys[4], out_ch, ratio=cfg.se_ratio, dtype=dtype)
+    return params, state
+
+
+def resnet_init(key, cfg: ModelConfig, *, dtype=jnp.float32):
+    """Build (params, state) pytrees for the configured model."""
+    k_stem, k_body, k_head = jax.random.split(key, 3)
+    params, state = {}, {}
+    params["stem"], state["stem"] = _stem_init(k_stem, cfg, dtype)
+
+    in_ch = 64
+    stage_keys = jax.random.split(k_body, 4)
+    for s in range(4):
+        filters = cfg.stage_filters(s)
+        sp, ss = {}, {}
+        block_keys = jax.random.split(stage_keys[s], cfg.blocks[s])
+        for b in range(cfg.blocks[s]):
+            has_proj = b == 0  # first block of each stage projects (+ strides if s>0)
+            sp[f"block{b}"], ss[f"block{b}"] = _block_init(
+                block_keys[b], cfg, in_ch, filters, has_proj=has_proj, dtype=dtype)
+            in_ch = filters * _EXPANSION
+        params[f"stage{s + 1}"], state[f"stage{s + 1}"] = sp, ss
+
+    params["head"] = dense_init(k_head, in_ch, cfg.num_classes, dtype=dtype)
+    return params, state
+
+
+# ---------------------------------------------------------------------------
+# apply
+# ---------------------------------------------------------------------------
+
+def _stem_apply(params, state, x, cfg: ModelConfig, *, train, policy, axis_name):
+    new_state = {}
+    cd = policy.compute_dtype
+    if cfg.use_resnet_d:
+        for i in range(3):
+            x = conv_apply(params[f"conv{i}"], x, stride=2 if i == 0 else 1,
+                           compute_dtype=cd)
+            x, new_state[f"bn{i}"] = bn_apply(
+                params[f"bn{i}"], state[f"bn{i}"], x, train=train,
+                momentum=cfg.bn_momentum, axis_name=axis_name)
+            x = jax.nn.relu(x)
+    else:
+        x = conv_apply(params["conv0"], x, stride=2, compute_dtype=cd)
+        x, new_state["bn0"] = bn_apply(
+            params["bn0"], state["bn0"], x, train=train,
+            momentum=cfg.bn_momentum, axis_name=axis_name)
+        x = jax.nn.relu(x)
+
+    if cfg.anti_alias_type == "max":
+        # anti-aliased stem pool: dense max then blur-subsample
+        x = max_pool_same(x, window=3, stride=1)
+        x = blur_pool(x, stride=2, filter_size=cfg.anti_alias_filter_size)
+    else:
+        x = max_pool_same(x, window=3, stride=2)
+    return x, new_state
+
+
+def _shortcut(params, state, x, cfg: ModelConfig, *, stride, train, policy, axis_name):
+    new_state = {}
+    if "proj_conv" not in params:
+        return x, new_state
+    cd = policy.compute_dtype
+    h = x
+    if stride > 1:
+        if cfg.use_resnet_d:
+            # ResNet-D: avgpool 2x2/2 then 1x1 conv stride 1
+            h = avg_pool(h, window=stride, stride=stride, padding="SAME")
+        elif cfg.anti_alias_type in ("proj", "max"):
+            h = blur_pool(h, stride=stride, filter_size=cfg.anti_alias_filter_size)
+        conv_stride = 1 if (cfg.use_resnet_d or cfg.anti_alias_type in ("proj", "max")) else stride
+    else:
+        conv_stride = 1
+    h = conv_apply(params["proj_conv"], h, stride=conv_stride, compute_dtype=cd)
+    h, new_state["proj_bn"] = bn_apply(
+        params["proj_bn"], state["proj_bn"], h, train=train,
+        momentum=cfg.bn_momentum, axis_name=axis_name)
+    return h, new_state
+
+
+def _block_apply(params, state, x, cfg: ModelConfig, *, stride, train, policy, axis_name):
+    new_state = {}
+    cd = policy.compute_dtype
+    shortcut, ns = _shortcut(params, state, x, cfg, stride=stride, train=train,
+                             policy=policy, axis_name=axis_name)
+    new_state.update(ns)
+
+    h = conv_apply(params["conv1"], x, stride=1, compute_dtype=cd)
+    h, new_state["bn1"] = bn_apply(params["bn1"], state["bn1"], h, train=train,
+                                   momentum=cfg.bn_momentum, axis_name=axis_name)
+    h = jax.nn.relu(h)
+
+    # mid conv (or SK unit); anti-alias 'sconv'/'proj'/'max' move the stride
+    # into a BlurPool after the conv.
+    aa = cfg.anti_alias_type != "none"
+    mid_stride = 1 if (aa and stride > 1) else stride
+    if cfg.use_sk_block:
+        h, new_state["sk"] = sk_apply(
+            params["sk"], state["sk"], h, stride=mid_stride, train=train,
+            bn_momentum=cfg.bn_momentum, axis_name=axis_name, compute_dtype=cd)
+    else:
+        h = conv_apply(params["conv2"], h, stride=mid_stride, compute_dtype=cd)
+        h, new_state["bn2"] = bn_apply(params["bn2"], state["bn2"], h, train=train,
+                                       momentum=cfg.bn_momentum, axis_name=axis_name)
+        h = jax.nn.relu(h)
+    if aa and stride > 1:
+        h = blur_pool(h, stride=stride, filter_size=cfg.anti_alias_filter_size)
+
+    h = conv_apply(params["conv3"], h, stride=1, compute_dtype=cd)
+    h, new_state["bn3"] = bn_apply(params["bn3"], state["bn3"], h, train=train,
+                                   momentum=cfg.bn_momentum, axis_name=axis_name)
+
+    if cfg.use_se_block:
+        h = se_apply(params["se"], h)
+
+    return jax.nn.relu(h + shortcut.astype(h.dtype)), new_state
+
+
+def resnet_apply(
+    params,
+    state,
+    images,
+    *,
+    cfg: ModelConfig,
+    train: bool,
+    policy: Policy = DEFAULT_POLICY,
+    rng=None,
+    progress=1.0,
+    axis_name: str | None = None,
+):
+    """Forward pass. Returns ``(logits_fp32, new_state)``.
+
+    ``progress`` in [0,1] drives the DropBlock keep-prob schedule (may be a
+    traced scalar). ``rng`` is required when training with DropBlock.
+    """
+    x = policy.cast_to_compute(images)
+    new_state = {}
+    x, new_state["stem"] = _stem_apply(params["stem"], state["stem"], x, cfg,
+                                       train=train, policy=policy, axis_name=axis_name)
+
+    kp = dropblock_keep_prob(progress, cfg.dropblock_keep_prob)
+    for s in range(4):
+        stage, sname = s + 1, f"stage{s + 1}"
+        sp, ss = params[sname], state[sname]
+        ns = {}
+        for b in range(cfg.blocks[s]):
+            stride = 2 if (s > 0 and b == 0) else 1
+            x, ns[f"block{b}"] = _block_apply(
+                sp[f"block{b}"], ss[f"block{b}"], x, cfg,
+                stride=stride, train=train, policy=policy, axis_name=axis_name)
+            if cfg.use_dropblock and train and stage in cfg.dropblock_stages:
+                if rng is None:
+                    raise ValueError("training with DropBlock requires rng")
+                key = rng(f"dropblock/{sname}/block{b}")
+                x = dropblock(key, x, keep_prob=kp,
+                              block_size=cfg.dropblock_block_size, train=True)
+        new_state[sname] = ns
+
+    pooled = global_avg_pool(x)  # (N, C)
+    logits = dense_apply(params["head"], pooled, compute_dtype=jnp.float32)
+    return logits.astype(jnp.float32), new_state

@@ -1,0 +1,94 @@
+"""Convolution / dense primitives, NHWC, TPU-first.
+
+Semantics parity notes (vs reference ``nets/resnet_model.py``-style
+``conv2d_fixed_padding``; SURVEY.md §2 item 2):
+
+The TF-official builder pads explicitly by ``(k-1)//2 , k-1-(k-1)//2`` and
+runs a VALID conv when stride > 1 (so output geometry is input-size
+independent), and uses SAME when stride == 1. For stride 1, SAME produces
+exactly that same explicit padding; therefore a single explicit-padding conv
+reproduces both paths bit-for-bit. We always emit the explicit form, which
+XLA maps straight onto the MXU with no layout surprises.
+
+Layout: NHWC activations, HWIO weights — the native TPU convolution layout.
+Weights are stored fp32 and cast to the compute dtype at use (bf16 for
+training; the MXU natively consumes bf16).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_DIMSPEC = ("NHWC", "HWIO", "NHWC")
+
+
+def he_normal(key, shape, dtype=jnp.float32):
+    """He (fan-in, scale=2) truncated-normal init — TF official ResNet's
+    ``variance_scaling_initializer`` lineage."""
+    fan_in = shape[0] * shape[1] * shape[2] if len(shape) == 4 else shape[0]
+    std = (2.0 / fan_in) ** 0.5
+    # truncated normal at 2 sigma, corrected std (matches TF semantics)
+    x = jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32)
+    return (x * std / 0.87962566103423978).astype(dtype)
+
+
+def conv_init(key, kernel_size, in_ch, out_ch, *, dtype=jnp.float32):
+    if isinstance(kernel_size, int):
+        kernel_size = (kernel_size, kernel_size)
+    w = he_normal(key, (*kernel_size, in_ch, out_ch), dtype)
+    return {"w": w}
+
+
+def fixed_pad_amounts(kernel_size: int, dilation: int = 1):
+    eff = dilation * (kernel_size - 1) + 1
+    pad_total = eff - 1
+    pad_beg = pad_total // 2
+    return (pad_beg, pad_total - pad_beg)
+
+
+def conv_apply(params, x, *, stride=1, dilation=1, groups=1, compute_dtype=None):
+    """2-D conv, explicit TF-``fixed_padding`` scheme (see module docstring)."""
+    w = params["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    else:
+        w = w.astype(x.dtype)
+    kh, kw = w.shape[0], w.shape[1]
+    pad = (fixed_pad_amounts(kh, dilation), fixed_pad_amounts(kw, dilation))
+    # fp32 means fp32: request full precision so the fp32 parity path is not
+    # silently computed in bf16 passes. bf16 inputs keep the native MXU path.
+    precision = lax.Precision.HIGHEST if w.dtype == jnp.float32 else None
+    return lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=(stride, stride),
+        padding=pad,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=_DIMSPEC,
+        feature_group_count=groups,
+        precision=precision,
+    )
+
+
+def dense_init(key, in_ch, out_ch, *, stddev=0.01, dtype=jnp.float32):
+    """Final classifier head — reference uses normal(stddev=.01) + zero bias."""
+    kw, _ = jax.random.split(key)
+    return {
+        "w": (jax.random.normal(kw, (in_ch, out_ch), jnp.float32) * stddev).astype(dtype),
+        "b": jnp.zeros((out_ch,), dtype),
+    }
+
+
+def dense_apply(params, x, *, compute_dtype=None):
+    w, b = params["w"], params["b"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+        b = b.astype(compute_dtype)
+    else:
+        w = w.astype(x.dtype)
+        b = b.astype(x.dtype)
+    return jnp.dot(x, w, preferred_element_type=x.dtype) + b

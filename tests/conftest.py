@@ -1,0 +1,19 @@
+"""Test environment: force CPU with 8 virtual devices (SURVEY.md §4 item 2).
+
+Tests never touch the real TPU — data-parallel semantics (psum, per-host
+sharding) are validated on a simulated 8-device host mesh, exactly how the
+driver's ``dryrun_multichip`` does it. Must run before jax is imported.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+# This machine has 1 CPU core and ~0.8s XLA compile latency per op; cache
+# every compiled executable so test reruns skip compilation entirely.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/axcnn_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")

@@ -1,0 +1,256 @@
+"""Data pipeline tests: TFRecord codec round-trip (cross-checked against
+TensorFlow's own writer/parser), preprocessing geometry, AutoAugment,
+mixup, loader determinism + resume (SURVEY.md §4 items 3)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from axcnn.data.tfrecord import (
+    TFRecordReader, TFRecordWriter, parse_example, make_example,
+    crc32c, masked_crc32c, list_shards)
+from axcnn.data.preprocessing import (
+    preprocess_train, preprocess_eval, distorted_bbox_crop, decode_jpeg)
+from axcnn.data.autoaugment import make_autoaugment, NAME_TO_OP, POLICIES
+from axcnn.data.pipeline import TFRecordImageLoader, SyntheticLoader
+from axcnn.data.datasets import get_dataset, DatasetInfo
+from axcnn.data.build_tfrecords import write_shards
+
+
+def _jpeg_bytes(rng, size=(64, 48)):
+    arr = rng.integers(0, 256, (size[1], size[0], 3), dtype=np.uint8)
+    img = Image.fromarray(arr)
+    buf = io.BytesIO()
+    img.save(buf, "JPEG", quality=95)
+    return buf.getvalue()
+
+
+class TestCRC:
+    def test_crc32c_known_vectors(self):
+        # RFC 3720 test vectors
+        assert crc32c(b"") == 0x0
+        assert crc32c(b"\x00" * 32) == 0x8A9136AA
+        assert crc32c(b"123456789") == 0xE3069283
+
+    def test_masked(self):
+        # masking is invertible-ish sanity: differs from raw crc
+        assert masked_crc32c(b"abc") != crc32c(b"abc")
+
+
+class TestExampleCodec:
+    def test_roundtrip(self):
+        ex = make_example({
+            "image/encoded": [b"\x01\x02jpeg"],
+            "image/class/label": [42],
+            "floats": [1.5, -2.5],
+            "image/class/text": [b"tabby"],
+        })
+        feats = parse_example(ex)
+        assert feats["image/encoded"] == [b"\x01\x02jpeg"]
+        assert feats["image/class/label"] == [42]
+        np.testing.assert_allclose(feats["floats"], [1.5, -2.5])
+        assert feats["image/class/text"] == [b"tabby"]
+
+    def test_negative_int64(self):
+        feats = parse_example(make_example({"x": [-7]}))
+        assert feats["x"] == [-7]
+
+    def test_tf_interop(self):
+        # our codec must parse TF-written Examples and vice versa
+        tf = pytest.importorskip("tensorflow")
+        tf_ex = tf.train.Example(features=tf.train.Features(feature={
+            "image/encoded": tf.train.Feature(
+                bytes_list=tf.train.BytesList(value=[b"payload"])),
+            "image/class/label": tf.train.Feature(
+                int64_list=tf.train.Int64List(value=[123])),
+        })).SerializeToString()
+        feats = parse_example(tf_ex)
+        assert feats["image/encoded"] == [b"payload"]
+        assert feats["image/class/label"] == [123]
+
+        ours = make_example({"a": [b"xyz"], "b": [5], "c": [2.0]})
+        parsed = tf.train.Example.FromString(ours)
+        assert parsed.features.feature["a"].bytes_list.value[0] == b"xyz"
+        assert parsed.features.feature["b"].int64_list.value[0] == 5
+        assert abs(parsed.features.feature["c"].float_list.value[0] - 2.0) < 1e-6
+
+
+class TestTFRecordIO:
+    def test_roundtrip_and_seek(self, tmp_path):
+        path = str(tmp_path / "test.tfrecord")
+        payloads = [b"first", b"second-longer", b"x" * 1000]
+        with TFRecordWriter(path) as w:
+            for p in payloads:
+                w.write(p)
+        r = TFRecordReader(path, verify_crc=True)
+        assert next(r) == b"first"
+        offset = r.tell()
+        assert next(r) == b"second-longer"
+        r.seek(offset)
+        assert next(r) == b"second-longer"
+        assert next(r) == b"x" * 1000
+        with pytest.raises(StopIteration):
+            next(r)
+
+    def test_tf_reads_our_records(self, tmp_path):
+        tf = pytest.importorskip("tensorflow")
+        path = str(tmp_path / "interop.tfrecord")
+        with TFRecordWriter(path) as w:
+            w.write(b"hello")
+            w.write(b"world")
+        got = [bytes(x.numpy()) for x in tf.data.TFRecordDataset(path)]
+        assert got == [b"hello", b"world"]
+
+
+class TestPreprocessing:
+    def test_eval_geometry(self):
+        rng = np.random.default_rng(0)
+        img = preprocess_eval(_jpeg_bytes(rng, (320, 240)), image_size=224)
+        assert img.shape == (224, 224, 3) and img.dtype == np.uint8
+
+    def test_train_geometry_and_determinism(self):
+        rng0 = np.random.default_rng(7)
+        data = _jpeg_bytes(np.random.default_rng(0), (300, 400))
+        img1 = preprocess_train(data, np.random.default_rng(7), image_size=224)
+        img2 = preprocess_train(data, np.random.default_rng(7), image_size=224)
+        assert img1.shape == (224, 224, 3)
+        np.testing.assert_array_equal(img1, img2)
+
+    def test_bbox_sampler_bounds(self):
+        rng = np.random.default_rng(0)
+        for _ in range(50):
+            x, y, w, h = distorted_bbox_crop(rng, 101, 67)
+            assert 0 <= x and x + w <= 101 and 0 <= y and y + h <= 67
+            assert w > 0 and h > 0
+
+    def test_decode(self):
+        rng = np.random.default_rng(0)
+        img = decode_jpeg(_jpeg_bytes(rng, (32, 16)))
+        assert img.shape == (16, 32, 3)
+
+
+class TestAutoAugment:
+    def test_all_ops_run(self):
+        rng = np.random.default_rng(0)
+        img = Image.fromarray(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8))
+        for name, op in NAME_TO_OP.items():
+            out = op(img, 5, rng)
+            assert out.size == img.size, name
+
+    def test_policies_apply(self):
+        rng = np.random.default_rng(0)
+        img = Image.fromarray(rng.integers(0, 256, (64, 64, 3), dtype=np.uint8))
+        for pname in POLICIES:
+            fn = make_autoaugment(pname)
+            out = fn(img, rng)
+            assert out.size == img.size
+
+    def test_none_policy(self):
+        assert make_autoaugment("none") is None
+
+    def test_unknown_raises(self):
+        with pytest.raises(ValueError):
+            make_autoaugment("bogus")
+
+
+def _make_dataset(tmp_path, n=32, num_shards=4, img_size=(48, 48)):
+    """Write a tiny synthetic sharded dataset; returns (data_dir, info)."""
+    rng = np.random.default_rng(0)
+    os.makedirs(tmp_path, exist_ok=True)
+    items = []
+    classes_dir = tmp_path / "raw" / "train"
+    for i in range(n):
+        cls = f"class{i % 4}"
+        d = classes_dir / cls
+        d.mkdir(parents=True, exist_ok=True)
+        Image.fromarray(
+            rng.integers(0, 256, (img_size[1], img_size[0], 3), dtype=np.uint8)
+        ).save(d / f"img{i}.jpg", "JPEG")
+    from axcnn.data.build_tfrecords import collect_images
+
+    items, classes = collect_images(str(classes_dir))
+    write_shards(items, str(tmp_path / "rec"), "train", num_shards)
+    info = DatasetInfo("tiny", num_classes=5, num_train=n, num_eval=n,
+                       train_prefix="train", eval_prefix="train")
+    return str(tmp_path / "rec"), info
+
+
+class TestLoader:
+    def test_shapes_and_determinism(self, tmp_path):
+        data_dir, info = _make_dataset(tmp_path)
+        def batches(seed):
+            loader = TFRecordImageLoader(
+                data_dir, info, batch_size=8, train=True, image_size=32,
+                seed=seed, num_workers=2)
+            it = iter(loader)
+            return [next(it) for _ in range(3)]
+
+        b1, b2 = batches(5), batches(5)
+        for x, y in zip(b1, b2):
+            np.testing.assert_array_equal(x["images"], y["images"])
+            np.testing.assert_array_equal(x["labels"], y["labels"])
+        assert b1[0]["images"].shape == (8, 32, 32, 3)
+        assert b1[0]["labels"].dtype == np.int32
+
+    def test_resume_matches_uninterrupted(self, tmp_path):
+        data_dir, info = _make_dataset(tmp_path)
+        kwargs = dict(batch_size=4, train=True, image_size=32, seed=9,
+                      num_workers=2)
+        ref_loader = TFRecordImageLoader(data_dir, info, **kwargs)
+        it = iter(ref_loader)
+        ref = [next(it) for _ in range(5)]
+
+        first = TFRecordImageLoader(data_dir, info, **kwargs)
+        it1 = iter(first)
+        for _ in range(3):
+            next(it1)
+        saved_state = first.state
+        resumed = TFRecordImageLoader(data_dir, info, **kwargs)
+        resumed.state = saved_state
+        it2 = iter(resumed)
+        got = [next(it2) for _ in range(2)]
+        for a, b in zip(ref[3:], got):
+            np.testing.assert_array_equal(a["images"], b["images"])
+            np.testing.assert_array_equal(a["labels"], b["labels"])
+
+    def test_host_sharding_disjoint(self, tmp_path):
+        data_dir, info = _make_dataset(tmp_path)
+        seen = []
+        for h in range(2):
+            loader = TFRecordImageLoader(
+                data_dir, info, batch_size=4, train=False, image_size=32,
+                host_id=h, num_hosts=2, num_workers=2)
+            labels = []
+            imgs = []
+            for b in loader:
+                imgs.append(b["images"])
+            seen.append(np.concatenate(imgs))
+        # eval stream: two hosts see disjoint record sets (different bytes)
+        assert seen[0].shape == seen[1].shape
+        assert not np.array_equal(seen[0], seen[1])
+
+    def test_eval_terminates(self, tmp_path):
+        data_dir, info = _make_dataset(tmp_path, n=10)
+        loader = TFRecordImageLoader(
+            data_dir, info, batch_size=4, train=False, image_size=32,
+            num_workers=2, drop_remainder=False)
+        batches = list(loader)
+        assert sum(b["labels"].shape[0] for b in batches) == 10
+
+    def test_synthetic(self):
+        loader = SyntheticLoader(batch_size=4, image_size=16, num_batches=3)
+        batches = list(loader)
+        assert len(batches) == 3
+        assert batches[0]["images"].shape == (4, 16, 16, 3)
+
+
+class TestDatasets:
+    def test_registry(self):
+        info = get_dataset("imagenet")
+        assert info.num_classes == 1001
+        assert info.num_train == 1_281_167
+        with pytest.raises(ValueError):
+            get_dataset("nope")
