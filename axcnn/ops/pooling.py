@@ -17,7 +17,8 @@ def max_pool_same(x, *, window=3, stride=2):
     """TF 'SAME' max pool (the reference stem's 3x3/2 pool)."""
     ph = _same_pads(x.shape[1], window, stride)
     pw = _same_pads(x.shape[2], window, stride)
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf init is required for autodiff to recognize the max monoid
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x,
         neg,

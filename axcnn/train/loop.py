@@ -1,0 +1,265 @@
+"""The training run loop — the reference's Estimator train/eval cycle.
+
+Parity target (SURVEY.md §3.1 run loop, §2 item 1): epoch-grouped training
+with evaluation every ``epochs_between_evals``, checkpoint save/auto-resume,
+early stop on ``stop_threshold``, eval-only mode, EMA-swapped eval, KD
+teacher, warm-start fine-tuning. One function, no framework classes: build
+steps, jit (single device) or shard_map (mesh), iterate.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from axcnn.core.dtypes import policy_from_name
+from axcnn.data.datasets import get_dataset, DatasetInfo
+from axcnn.data.pipeline import (
+    TFRecordImageLoader, SyntheticLoader, device_prefetch, LoaderState)
+from axcnn.models.resnet import ModelConfig, resnet_init
+from axcnn.parallel.mesh import (
+    make_mesh, shard_train_step, shard_eval_step, shard_batch, batch_sharding,
+    DATA_AXIS)
+from axcnn.train.schedules import make_lr_schedule, scale_lr_for_batch
+from axcnn.train.train_step import (
+    TrainState, create_train_state, make_train_step, make_eval_step, pad_batch)
+from axcnn.ckpt.checkpoint import CheckpointManager
+from axcnn.utils.config import Config
+from axcnn.utils.logging import MetricLogger, Throughput
+
+
+def _dataset_info(cfg: Config) -> DatasetInfo:
+    info = get_dataset(cfg.data.dataset_name)
+    return info
+
+
+def _make_loaders(cfg: Config, info: DatasetInfo):
+    if cfg.data.use_synthetic_data:
+        train_loader = SyntheticLoader(
+            batch_size=cfg.train.batch_size, image_size=cfg.data.image_size,
+            num_classes=cfg.model.num_classes, seed=cfg.train.seed)
+        eval_loader = SyntheticLoader(
+            batch_size=cfg.train.batch_size, image_size=cfg.data.image_size,
+            num_classes=cfg.model.num_classes, seed=cfg.train.seed + 1,
+            num_batches=4)
+        return train_loader, eval_loader
+    common = dict(image_size=cfg.data.image_size,
+                  num_workers=cfg.data.num_workers,
+                  host_id=jax.process_index(), num_hosts=jax.process_count())
+    train_loader = TFRecordImageLoader(
+        cfg.data.data_dir, info, batch_size=cfg.train.batch_size, train=True,
+        autoaugment_type=cfg.data.autoaugment_type, seed=cfg.train.seed,
+        shuffle_buffer=cfg.data.shuffle_buffer, **common)
+    eval_loader = TFRecordImageLoader(
+        cfg.data.data_dir, info, batch_size=cfg.train.batch_size, train=False,
+        drop_remainder=False, **common)
+    return train_loader, eval_loader
+
+
+def _load_teacher(cfg: Config):
+    """Build the frozen KD teacher from a checkpoint (SURVEY.md §2 item 14)."""
+    if not cfg.train.kd_teacher_checkpoint:
+        return None
+    size = cfg.train.kd_teacher_resnet_size or cfg.model.resnet_size
+    t_cfg = ModelConfig(
+        resnet_size=size, num_classes=cfg.model.num_classes,
+        use_resnet_d=cfg.model.use_resnet_d, use_se_block=cfg.model.use_se_block,
+        use_sk_block=cfg.model.use_sk_block,
+        anti_alias_type=cfg.model.anti_alias_type)
+    t_params, t_state = resnet_init(jax.random.key(0), t_cfg)
+    mgr = CheckpointManager(cfg.train.kd_teacher_checkpoint)
+    template = TrainState(step=0, params=t_params, model_state=t_state,
+                          velocity=jax.tree.map(jnp.zeros_like, t_params),
+                          ema=jax.tree.map(jnp.zeros_like, t_params))
+    restored = mgr.restore(template)
+    if restored is None:
+        raise FileNotFoundError(
+            f"no teacher checkpoint in {cfg.train.kd_teacher_checkpoint}")
+    t_train_state = restored[0]
+    mgr.close()
+    # teach with EMA weights when present (the published recipes distill
+    # from the EMA'd teacher)
+    params = t_train_state.ema if t_train_state.ema is not None else t_train_state.params
+    return t_cfg, params, t_train_state.model_state
+
+
+def _warm_start(state: TrainState, cfg: Config) -> TrainState:
+    """Fine-tune init: load all params except the classifier head
+    (SURVEY.md §3.3)."""
+    if not cfg.train.pretrained_checkpoint:
+        return state
+    mgr = CheckpointManager(cfg.train.pretrained_checkpoint)
+    # restore into a template with the PRETRAINED head size by borrowing its
+    # stored shapes: we restore lazily and copy intersecting subtrees
+    latest = mgr.latest_step()
+    if latest is None:
+        raise FileNotFoundError(
+            f"no checkpoint in {cfg.train.pretrained_checkpoint}")
+    import orbax.checkpoint as ocp
+
+    raw = mgr._mgr.restore(latest, args=ocp.args.StandardRestore())
+    mgr.close()
+    src_params = raw.get("ema") or raw["params"]
+    new_params = dict(state.params)
+    for k, v in src_params.items():
+        if k == "head" and cfg.train.warm_start_exclude_head:
+            continue
+        new_params[k] = jax.tree.map(jnp.asarray, v)
+    new_mstate = jax.tree.map(jnp.asarray, raw["model_state"])
+    return state._replace(params=new_params, model_state=new_mstate,
+                          ema=jax.tree.map(lambda p: p.astype(jnp.float32), new_params)
+                          if state.ema is not None else None)
+
+
+def evaluate(eval_step_fn, state, eval_loader, *, batch_size, mesh=None,
+             prefetch=2):
+    """Full eval pass; returns {'top1': %, 'top5': %, 'loss': mean, 'count': N}."""
+    totals = {}
+    it = iter(eval_loader)
+    sharding = batch_sharding(mesh) if mesh is not None else None
+    for batch in device_prefetch(
+            (pad_batch(b, batch_size) for b in it), size=prefetch,
+            sharding=sharding):
+        m = jax.device_get(eval_step_fn(state, batch))
+        for k, v in m.items():
+            totals[k] = totals.get(k, 0.0) + float(v)
+    count = max(totals.get("count", 0.0), 1.0)
+    return {
+        "top1": totals.get("top1", 0.0) / count * 100.0,
+        "top5": totals.get("top5", 0.0) / count * 100.0,
+        "loss": totals.get("loss_sum", 0.0) / count,
+        "count": count,
+    }
+
+
+def run(cfg: Config):
+    """Train (and periodically evaluate) per the config; returns final eval
+    metrics dict (or eval metrics when runtime.eval_only)."""
+    info = _dataset_info(cfg)
+    if cfg.model.num_classes != info.num_classes:
+        # dataset wins (the reference derives num_classes from data_config)
+        import dataclasses as _dc
+
+        cfg = Config(model=_dc.replace(cfg.model, num_classes=info.num_classes),
+                     data=cfg.data, train=cfg.train, runtime=cfg.runtime)
+
+    policy = policy_from_name(cfg.train.dtype)
+    logger = MetricLogger(cfg.runtime.model_dir)
+
+    devices = jax.devices()
+    n_dev = cfg.runtime.num_devices or len(devices)
+    use_mesh = n_dev > 1
+    mesh = make_mesh(n_dev) if use_mesh else None
+    if cfg.train.batch_size % n_dev:
+        raise ValueError(
+            f"global batch {cfg.train.batch_size} not divisible by {n_dev} devices")
+
+    # steps accounting
+    if cfg.train.train_steps > 0:
+        total_steps = cfg.train.train_steps
+        steps_per_epoch = total_steps
+        num_evals = 1
+    else:
+        steps_per_epoch = max(info.num_train // cfg.train.batch_size, 1)
+        total_steps = steps_per_epoch * cfg.train.train_epochs
+        num_evals = max(math.ceil(cfg.train.train_epochs / cfg.train.epochs_between_evals), 1)
+
+    base_lr = scale_lr_for_batch(cfg.train.base_lr, cfg.train.batch_size)
+    lr_schedule = make_lr_schedule(
+        base_lr=base_lr, total_steps=total_steps,
+        warmup_steps=int(cfg.train.lr_warmup_epochs * steps_per_epoch),
+        decay_type=cfg.train.lr_decay_type)
+
+    teacher = _load_teacher(cfg)
+
+    train_step = make_train_step(
+        cfg.model, lr_schedule=lr_schedule, total_steps=total_steps,
+        policy=policy, label_smoothing=cfg.train.label_smoothing,
+        mixup_alpha=cfg.data.mixup_alpha, weight_decay=cfg.train.weight_decay,
+        momentum=cfg.train.momentum, use_ema=cfg.train.use_ema,
+        ema_decay=cfg.train.ema_decay,
+        axis_name=DATA_AXIS if use_mesh else None,
+        teacher=teacher, kd_temp=cfg.train.kd_temp, kd_alpha=cfg.train.kd_alpha,
+        mean_rgb=info.mean_rgb, stddev_rgb=info.stddev_rgb)
+    eval_step = make_eval_step(
+        cfg.model, policy=policy, use_ema=cfg.train.use_ema,
+        mean_rgb=info.mean_rgb, stddev_rgb=info.stddev_rgb)
+
+    if use_mesh:
+        train_step_fn = shard_train_step(train_step, mesh)
+        eval_step_fn = shard_eval_step(eval_step, mesh)
+    else:
+        train_step_fn = jax.jit(train_step, donate_argnums=(0,))
+        eval_step_fn = jax.jit(eval_step)
+
+    state = create_train_state(jax.random.key(cfg.train.seed), cfg.model,
+                               use_ema=cfg.train.use_ema)
+    state = _warm_start(state, cfg)
+
+    train_loader, eval_loader = _make_loaders(cfg, info)
+
+    ckpt = CheckpointManager(
+        os.path.join(cfg.runtime.model_dir, "checkpoints"),
+        max_to_keep=cfg.runtime.keep_checkpoint_max)
+    restored = ckpt.restore(state)
+    if restored is not None:
+        state, loader_state, _ = restored
+        train_loader.state = loader_state
+        logger.log("restore", int(state.step), epoch=loader_state.epoch)
+
+    if cfg.runtime.eval_only:
+        metrics = evaluate(eval_step_fn, state, eval_loader,
+                           batch_size=cfg.train.batch_size, mesh=mesh,
+                           prefetch=cfg.data.prefetch)
+        logger.log("eval", int(jax.device_get(state.step)), **metrics)
+        ckpt.close()
+        return metrics
+
+    root_key = jax.random.key(cfg.train.seed + 1)
+    sharding = batch_sharding(mesh) if mesh is not None else None
+    throughput = Throughput(cfg.train.batch_size)
+    eval_metrics = {}
+
+    step = int(jax.device_get(state.step))
+    train_iter = device_prefetch(iter(train_loader), size=cfg.data.prefetch,
+                                 sharding=sharding)
+    profiled = False
+    while step < total_steps:
+        if (cfg.runtime.profile_steps and not profiled and step > 0):
+            jax.profiler.start_trace(os.path.join(cfg.runtime.model_dir, "profile"))
+        batch = next(train_iter)
+        state, metrics = train_step_fn(state, batch, root_key)
+        step += 1
+        if cfg.runtime.profile_steps and not profiled and \
+                step >= cfg.runtime.profile_steps + 1:
+            jax.block_until_ready(state.params)
+            jax.profiler.stop_trace()
+            profiled = True
+        ips = throughput.tick()
+        if step % cfg.train.log_every == 0 or step == total_steps:
+            m = jax.device_get(metrics)
+            logger.log("train", step, epoch=step / steps_per_epoch,
+                       images_per_sec=ips or 0.0, **{k: float(v) for k, v in m.items()})
+        # eval + checkpoint at epoch boundaries (epochs_between_evals)
+        at_eval = (step % (steps_per_epoch * cfg.train.epochs_between_evals) == 0
+                   or step == total_steps)
+        if at_eval:
+            eval_metrics = evaluate(eval_step_fn, state, eval_loader,
+                                    batch_size=cfg.train.batch_size, mesh=mesh,
+                                    prefetch=cfg.data.prefetch)
+            logger.log("eval", step, **eval_metrics)
+            ckpt.save(state, loader_state=train_loader.state,
+                      rng_seed=cfg.train.seed, force=True)
+            if cfg.train.stop_threshold and \
+                    eval_metrics["top1"] >= cfg.train.stop_threshold:
+                logger.log("early_stop", step, top1=eval_metrics["top1"])
+                break
+
+    ckpt.wait()
+    ckpt.close()
+    logger.close()
+    return eval_metrics

@@ -1,0 +1,187 @@
+"""Config system: one dataclass tree + CLI overrides.
+
+Parity target (SURVEY.md §5.6): the reference's two-tier absl flag surface
+(vendored ``define_base``/``define_performance`` groups + repo-specific model
+and recipe flags). Every reference knob has a field here with the same
+meaning; ``configs/*.py`` presets mirror the reference's ``scripts/*.sh``
+recipes 1:1.
+
+CLI grammar: ``--field=value`` or ``--section.field=value`` (e.g.
+``--model.use_se_block=true --train.base_lr=0.4``); unprefixed names resolve
+if unambiguous across sections. ``--config=name`` loads a preset from
+``axcnn/configs`` first, then overrides apply left to right.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import importlib
+import json
+from typing import Any, Sequence
+
+from axcnn.models.resnet import ModelConfig
+
+
+@dataclasses.dataclass
+class DataConfig:
+    dataset_name: str = "imagenet"
+    data_dir: str = ""
+    use_synthetic_data: bool = False
+    image_size: int = 224
+    resize_min: int = 256  # eval: shorter-side resize (preprocessing_type 224_256a)
+    autoaugment_type: str = "none"  # none | v0 | imagenet
+    mixup_alpha: float = 0.0
+    num_workers: int = 8
+    shuffle_buffer: int = 4096
+    prefetch: int = 2
+    loader: str = "python"  # python | cpp (native loader, cpp/)
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    batch_size: int = 256  # GLOBAL batch (split across data-parallel shards)
+    train_epochs: int = 90
+    train_steps: int = 0  # >0 overrides epochs (debug/bench)
+    epochs_between_evals: int = 1
+    stop_threshold: float = 0.0  # early-stop when eval top-1 reaches this
+    base_lr: float = 0.1  # per-256; scaled linearly by global batch
+    lr_decay_type: str = "cosine"  # cosine | step | constant
+    lr_warmup_epochs: float = 5.0
+    momentum: float = 0.9
+    weight_decay: float = 1e-4
+    label_smoothing: float = 0.1
+    use_ema: bool = False
+    ema_decay: float = 0.9999
+    dtype: str = "bf16"  # bf16 | fp32  (reference: fp16|fp32 + loss_scale)
+    seed: int = 42
+    log_every: int = 100
+    # KD (reference: kd_temp + teacher checkpoint/arch flags)
+    kd_teacher_checkpoint: str = ""
+    kd_teacher_resnet_size: int = 0  # 0 = same topology as student
+    kd_temp: float = 1.0
+    kd_alpha: float = 1.0
+    # fine-tune / warm start (reference: pretrained_model_checkpoint_path)
+    pretrained_checkpoint: str = ""
+    warm_start_exclude_head: bool = True
+
+
+@dataclasses.dataclass
+class RuntimeConfig:
+    model_dir: str = "/tmp/axcnn_model"
+    save_checkpoint_steps: int = 0  # 0 = once per eval cycle
+    keep_checkpoint_max: int = 5
+    num_devices: int = 0  # 0 = all visible
+    profile_steps: int = 0  # >0: wrap N steps in jax.profiler.trace
+    eval_only: bool = False
+    eval_imagenet_c: bool = False  # mCE mode
+    export_dir: str = ""
+
+
+@dataclasses.dataclass
+class Config:
+    model: ModelConfig = dataclasses.field(default_factory=ModelConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    runtime: RuntimeConfig = dataclasses.field(default_factory=RuntimeConfig)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2, default=str)
+
+
+def _parse_value(raw: str, typ) -> Any:
+    if typ is bool:
+        if raw.lower() in ("1", "true", "yes", "on"):
+            return True
+        if raw.lower() in ("0", "false", "no", "off"):
+            return False
+        raise ValueError(f"bad bool {raw!r}")
+    if typ is int:
+        return int(raw)
+    if typ is float:
+        return float(raw)
+    if typ is str:
+        return raw
+    # tuples (e.g. dropblock_stages): comma-separated ints
+    return tuple(int(x) for x in raw.split(",") if x)
+
+
+def _field_map(cfg: Config):
+    """{(section, field): (container_name, field_obj)} + ambiguity info."""
+    out = {}
+    for section in ("model", "data", "train", "runtime"):
+        sub = getattr(cfg, section)
+        for f in dataclasses.fields(sub):
+            out[(section, f.name)] = f
+    return out
+
+
+def apply_overrides(cfg: Config, overrides: Sequence[str]) -> Config:
+    """Apply ``--a.b=v`` / ``--b=v`` strings. Returns a new Config
+    (ModelConfig is frozen, so model overrides rebuild it via replace)."""
+    fields = _field_map(cfg)
+    sections = {"model": dict(), "data": dict(), "train": dict(), "runtime": dict()}
+
+    for item in overrides:
+        if not item.startswith("--"):
+            raise ValueError(f"override must start with --: {item!r}")
+        body = item[2:]
+        if "=" not in body:
+            body += "=true"  # bare flag = bool true
+        name, raw = body.split("=", 1)
+        if "." in name:
+            section, fname = name.split(".", 1)
+            if (section, fname) not in fields:
+                raise ValueError(f"unknown config field {name!r}")
+        else:
+            matches = [(s, f) for (s, f) in fields if f == name]
+            if not matches:
+                raise ValueError(f"unknown config field {name!r}")
+            if len(matches) > 1:
+                raise ValueError(
+                    f"ambiguous field {name!r} (in {[s for s, _ in matches]}); "
+                    f"qualify as --section.{name}")
+            section, fname = matches[0]
+        f = fields[(section, fname)]
+        sections[section][fname] = _parse_value(raw, f.type if isinstance(f.type, type) else
+                                                type(getattr(getattr(cfg, section), fname)))
+
+    model = dataclasses.replace(cfg.model, **sections["model"]) if sections["model"] else cfg.model
+    data = dataclasses.replace(cfg.data, **sections["data"])
+    train = dataclasses.replace(cfg.train, **sections["train"])
+    runtime = dataclasses.replace(cfg.runtime, **sections["runtime"])
+    return Config(model=model, data=data, train=train, runtime=runtime)
+
+
+def load_preset(name: str) -> Config:
+    """Load ``axcnn/configs/<name>.py`` (must define ``get_config() -> Config``)."""
+    mod = importlib.import_module(f"axcnn.configs.{name}")
+    return mod.get_config()
+
+
+def parse_cli(argv: Sequence[str]) -> Config:
+    """argv: everything after the program name."""
+    preset = None
+    overrides = []
+    for a in argv:
+        if a.startswith("--config="):
+            preset = a.split("=", 1)[1]
+        elif a in ("-h", "--help"):
+            _print_help()
+            raise SystemExit(0)
+        else:
+            overrides.append(a)
+    cfg = load_preset(preset) if preset else Config()
+    return apply_overrides(cfg, overrides)
+
+
+def _print_help():
+    cfg = Config()
+    print(__doc__)
+    for section in ("model", "data", "train", "runtime"):
+        sub = getattr(cfg, section)
+        print(f"\n[{section}]")
+        for f in dataclasses.fields(sub):
+            print(f"  --{section}.{f.name}  (default: {getattr(sub, f.name)!r})")

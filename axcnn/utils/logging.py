@@ -1,0 +1,65 @@
+"""Structured metric logging + throughput tracking.
+
+Parity target (SURVEY.md §5.5): the vendored ``BenchmarkLogger`` (JSON-lines
+metric dump), ``LoggingTensorHook`` (periodic loss/LR), and
+``ExamplesPerSecondHook``. One JSONL stream replaces all three; stdout gets a
+human-readable line. images/sec/chip is the north-star counter
+(BASELINE.json).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+class MetricLogger:
+    """Writes one JSON object per event to ``<dir>/metrics.jsonl`` and a
+    compact line to stdout."""
+
+    def __init__(self, directory: str | None = None, *, quiet: bool = False):
+        self._f = None
+        self._quiet = quiet
+        if directory:
+            os.makedirs(directory, exist_ok=True)
+            self._f = open(os.path.join(directory, "metrics.jsonl"), "a")
+
+    def log(self, tag: str, step: int, **metrics):
+        rec = {"tag": tag, "step": int(step), "time": time.time()}
+        rec.update({k: (float(v) if hasattr(v, "__float__") else v)
+                    for k, v in metrics.items()})
+        if self._f:
+            self._f.write(json.dumps(rec) + "\n")
+            self._f.flush()
+        if not self._quiet:
+            body = " ".join(
+                f"{k}={v:.6g}" if isinstance(v, float) else f"{k}={v}"
+                for k, v in rec.items() if k not in ("tag", "time"))
+            print(f"[{tag}] {body}", file=sys.stderr, flush=True)
+
+    def close(self):
+        if self._f:
+            self._f.close()
+
+
+class Throughput:
+    """Examples/sec over a sliding window of step timings."""
+
+    def __init__(self, batch_size: int, *, window: int = 20):
+        self._bs = batch_size
+        self._window = window
+        self._times: list[float] = []
+
+    def tick(self) -> float | None:
+        """Call once per step; returns examples/sec over the window or None."""
+        now = time.perf_counter()
+        self._times.append(now)
+        if len(self._times) > self._window + 1:
+            self._times.pop(0)
+        if len(self._times) < 2:
+            return None
+        dt = self._times[-1] - self._times[0]
+        steps = len(self._times) - 1
+        return self._bs * steps / dt if dt > 0 else None

@@ -17,3 +17,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/axcnn_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
+# The axon PJRT plugin PREPENDS itself to jax_platforms, overriding the env
+# var ("axon,cpu" → TPU wins). Force CPU via the config API, which the plugin
+# cannot override. Without this, "CPU" tests silently run on the tunneled TPU.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+assert len(jax.devices()) == 8, jax.devices()
