@@ -1,0 +1,106 @@
+"""ctypes bindings for the native loader (cpp/loader.cpp) + a drop-in
+batch decoder used by TFRecordImageLoader when ``loader='cpp'``.
+
+Split of responsibilities (SURVEY.md §2.9): Python owns file IO, shuffle
+order, determinism and checkpoint state (cheap, already golden-tested);
+C++ owns Example parse + JPEG decode + crop/resize/flip (the CPU-hot path),
+multithreaded and GIL-free (ctypes releases the GIL for the call).
+
+The library is built on demand by ``cpp/build.sh`` (g++ + libjpeg, both in
+the image); set ``AXCNN_NO_CPP=1`` to force the PIL path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_LIB = None
+_CPP_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))), "cpp")
+_SO_PATH = os.path.join(_CPP_DIR, "build", "libaxcnn_loader.so")
+
+
+def _build():
+    subprocess.run(["bash", os.path.join(_CPP_DIR, "build.sh")],
+                   check=True, capture_output=True)
+
+
+def get_lib():
+    """Load (building if needed) the native library; raises on failure."""
+    global _LIB
+    if _LIB is not None:
+        return _LIB
+    if os.environ.get("AXCNN_NO_CPP"):
+        raise RuntimeError("native loader disabled via AXCNN_NO_CPP")
+    if not os.path.exists(_SO_PATH):
+        _build()
+    lib = ctypes.CDLL(_SO_PATH)
+    lib.axcnn_decode_batch.restype = ctypes.c_int
+    lib.axcnn_decode_batch.argtypes = [
+        ctypes.POINTER(ctypes.c_void_p),   # payloads
+        ctypes.POINTER(ctypes.c_int64),    # sizes
+        ctypes.c_int,                      # n
+        ctypes.c_int,                      # image_size
+        ctypes.c_int,                      # resize_min
+        ctypes.c_int,                      # train
+        ctypes.POINTER(ctypes.c_uint64),   # seeds
+        ctypes.POINTER(ctypes.c_uint8),    # out_images
+        ctypes.POINTER(ctypes.c_int32),    # out_labels
+        ctypes.c_int,                      # num_threads
+    ]
+    lib.axcnn_decode_jpeg.restype = ctypes.c_int
+    lib.axcnn_decode_jpeg.argtypes = [
+        ctypes.c_char_p, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.axcnn_version.restype = ctypes.c_int
+    assert lib.axcnn_version() == 1
+    _LIB = lib
+    return lib
+
+
+def available() -> bool:
+    try:
+        get_lib()
+        return True
+    except Exception:
+        return False
+
+
+def decode_batch(payloads: list[bytes], *, image_size: int, resize_min: int,
+                 train: bool, seeds, num_threads: int = 8):
+    """Decode serialized Examples → (images uint8 [n,S,S,3], labels int32 [n],
+    n_ok). Failed records get zeros/label=-1."""
+    lib = get_lib()
+    n = len(payloads)
+    images = np.empty((n, image_size, image_size, 3), np.uint8)
+    labels = np.empty((n,), np.int32)
+    # keep byte buffers alive and build pointer/size arrays
+    bufs = [ctypes.create_string_buffer(p, len(p)) for p in payloads]
+    ptrs = (ctypes.c_void_p * n)(*[ctypes.cast(b, ctypes.c_void_p) for b in bufs])
+    sizes = (ctypes.c_int64 * n)(*[len(p) for p in payloads])
+    seed_arr = (ctypes.c_uint64 * n)(*[int(s) & (2**64 - 1) for s in seeds])
+    ok = lib.axcnn_decode_batch(
+        ptrs, sizes, n, image_size, resize_min, int(train), seed_arr,
+        images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        num_threads)
+    return images, labels, ok
+
+
+def decode_jpeg_native(data: bytes, *, max_side: int = 8192):
+    """Single-image native JPEG decode (tests/tools)."""
+    lib = get_lib()
+    out = np.empty((max_side * max_side * 3,), np.uint8)
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    rc = lib.axcnn_decode_jpeg(
+        data, len(data), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        out.nbytes, ctypes.byref(w), ctypes.byref(h))
+    if rc != 0:
+        raise ValueError(f"jpeg decode failed (rc={rc})")
+    return out[: w.value * h.value * 3].reshape(h.value, w.value, 3).copy()

@@ -48,6 +48,7 @@ class TFRecordImageLoader:
         batch_size: int,
         train: bool,
         image_size: int = 224,
+        resize_min: int = 256,
         autoaugment_type: str = "none",
         seed: int = 0,
         host_id: int = 0,
@@ -55,6 +56,7 @@ class TFRecordImageLoader:
         num_workers: int = 8,
         shuffle_buffer: int = 4096,
         drop_remainder: bool = True,
+        use_native: bool = False,
     ):
         prefix = info.train_prefix if train else info.eval_prefix
         all_shards = list_shards(data_dir, prefix)
@@ -65,11 +67,26 @@ class TFRecordImageLoader:
         self._bs = batch_size
         self._train = train
         self._image_size = image_size
+        self._resize_min = resize_min
         self._aa = make_autoaugment(autoaugment_type) if train else None
         self._seed = seed
         self._workers = num_workers
         self._shuffle_buffer = shuffle_buffer
         self._drop_remainder = drop_remainder
+        # native (C++) decode path: Example parse + JPEG decode + crop/resize
+        # in cpp/loader.cpp. AutoAugment is PIL-only for now, so augmented
+        # training falls back to the Python path.
+        self._native = bool(use_native) and self._aa is None
+        if use_native and self._aa is not None:
+            import warnings
+
+            warnings.warn("native loader does not implement AutoAugment yet; "
+                          "using the Python decode path")
+        if self._native:
+            from axcnn.data import cpp_loader
+
+            self._cpp = cpp_loader
+            cpp_loader.get_lib()  # build/load eagerly so failures are loud
         self.state = LoaderState(epoch=0, batches_yielded=0)
 
     # -- deterministic record stream for (seed, epoch) ----------------------
@@ -103,8 +120,21 @@ class TFRecordImageLoader:
                                    image_size=self._image_size,
                                    autoaugment_fn=self._aa)
         else:
-            img = preprocess_eval(image_bytes, image_size=self._image_size)
+            img = preprocess_eval(image_bytes, image_size=self._image_size,
+                                  resize_min=self._resize_min)
         return img, label
+
+    def _flush_native(self, items, epoch):
+        payloads = [p for p, _ in items]
+        seeds = [
+            np.random.SeedSequence([self._seed, epoch, idx]).generate_state(
+                1, np.uint64)[0]
+            for _, idx in items
+        ]
+        imgs, labels, _ = self._cpp.decode_batch(
+            payloads, image_size=self._image_size, resize_min=self._resize_min,
+            train=self._train, seeds=seeds, num_threads=self._workers)
+        return {"images": imgs, "labels": labels}
 
     def __iter__(self):
         epoch = self.state.epoch
@@ -115,8 +145,15 @@ class TFRecordImageLoader:
             pending = []
             with ThreadPoolExecutor(self._workers) as pool:
                 def flush(items):
-                    imgs = np.stack([f.result()[0] for f in items])
-                    labels = np.asarray([f.result()[1] for f in items], np.int32)
+                    if self._native:
+                        return self._flush_native(items, epoch)
+                    futures = [
+                        pool.submit(self._prepare, payload,
+                                    (self._seed, epoch, idx))
+                        for payload, idx in items
+                    ]
+                    imgs = np.stack([f.result()[0] for f in futures])
+                    labels = np.asarray([f.result()[1] for f in futures], np.int32)
                     return {"images": imgs, "labels": labels}
 
                 for rec_idx, payload in enumerate(stream):
@@ -125,9 +162,7 @@ class TFRecordImageLoader:
                         if (rec_idx + 1) % self._bs == 0:
                             batch_idx += 1
                         continue
-                    pending.append(
-                        pool.submit(self._prepare, payload,
-                                    (self._seed, epoch, rec_idx)))
+                    pending.append((payload, rec_idx))
                     if len(pending) == self._bs:
                         batch = flush(pending)
                         pending = []

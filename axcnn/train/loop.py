@@ -48,7 +48,9 @@ def _make_loaders(cfg: Config, info: DatasetInfo):
             num_batches=4)
         return train_loader, eval_loader
     common = dict(image_size=cfg.data.image_size,
+                  resize_min=cfg.data.resize_min,
                   num_workers=cfg.data.num_workers,
+                  use_native=cfg.data.loader == "cpp",
                   host_id=jax.process_index(), num_hosts=jax.process_count())
     train_loader = TFRecordImageLoader(
         cfg.data.data_dir, info, batch_size=cfg.train.batch_size, train=True,
