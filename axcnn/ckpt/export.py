@@ -1,0 +1,98 @@
+"""Model export for serving — the reference's SavedModel export path.
+
+Parity target (SURVEY.md §2 item 10): ``official/utils/export/export.py``
+builds a ``serving_input_receiver_fn`` and writes a SavedModel taking raw
+images. The TPU-native equivalent: serialize the jitted inference function
+to **StableHLO** via ``jax.export`` (portable, version-stable, loadable
+without axcnn) plus an orbax checkpoint of the inference params (EMA weights
+when trained with EMA).
+
+Layout of an export directory:
+    serving.stablehlo   — serialized Exported (uint8 NHWC images → fp32 logits)
+    params/             — orbax checkpoint {params, model_state}
+    config.json         — the ModelConfig + preprocessing constants
+
+``load_serving(path)`` reloads and returns ``fn(images_u8) -> logits`` — the
+round-trip is tested in tests/test_export.py.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import orbax.checkpoint as ocp
+
+from axcnn.core.dtypes import Policy, DEFAULT_POLICY
+from axcnn.data.preprocessing import normalize_device
+from axcnn.models.resnet import ModelConfig, resnet_apply, resnet_init
+
+
+def _serving_fn(cfg: ModelConfig, policy: Policy, mean, std):
+    def fn(params, model_state, images_u8):
+        x = normalize_device(images_u8, mean, std)
+        logits, _ = resnet_apply(params, model_state, x, cfg=cfg, train=False,
+                                 policy=policy)
+        return logits
+
+    return fn
+
+
+def export_serving(path: str, cfg: ModelConfig, params, model_state, *,
+                   batch_size: int = 8, image_size: int = 224,
+                   policy: Policy = DEFAULT_POLICY, mean=None, std=None):
+    """Write a serving export; returns the directory path."""
+    os.makedirs(path, exist_ok=True)
+    fn = _serving_fn(cfg, policy, mean, std)
+    example = (params, model_state,
+               np.zeros((batch_size, image_size, image_size, 3), np.uint8))
+    exported = jax.export.export(jax.jit(fn))(*example)
+    with open(os.path.join(path, "serving.stablehlo"), "wb") as f:
+        f.write(exported.serialize())
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.join(os.path.abspath(path), "params"),
+               {"params": params, "model_state": model_state})
+    ckptr.wait_until_finished()
+
+    meta = {
+        "model_config": dataclasses.asdict(cfg),
+        "batch_size": batch_size,
+        "image_size": image_size,
+        "compute_dtype": str(policy.compute_dtype.__name__
+                             if hasattr(policy.compute_dtype, "__name__")
+                             else policy.compute_dtype),
+    }
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump(meta, f, indent=2, default=str)
+    return path
+
+
+def load_serving(path: str):
+    """Reload an export; returns ``(fn(images_u8) -> logits, meta_dict)``."""
+    with open(os.path.join(path, "serving.stablehlo"), "rb") as f:
+        exported = jax.export.deserialize(bytearray(f.read()))
+    with open(os.path.join(path, "config.json")) as f:
+        meta = json.load(f)
+
+    mc = dict(meta["model_config"])
+    mc["dropblock_stages"] = tuple(mc.get("dropblock_stages", (3, 4)))
+    cfg = ModelConfig(**mc)
+    # abstract template: orbax only needs structure+shapes, and eager init on
+    # the tunneled TPU costs ~50s of per-op dispatches
+    template = jax.eval_shape(lambda k: resnet_init(k, cfg), jax.random.key(0))
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(
+        os.path.join(os.path.abspath(path), "params"),
+        {"params": template[0], "model_state": template[1]})
+
+    call = jax.jit(exported.call)
+
+    def fn(images_u8):
+        return call(restored["params"], restored["model_state"], images_u8)
+
+    return fn, meta

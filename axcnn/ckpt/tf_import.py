@@ -58,6 +58,10 @@ def _iter_block_entries(block_params, block_state):
 def expected_tf_names(cfg: ModelConfig, params, state):
     """Walk (params, state) in creation order; returns
     [(tf_name, our_path, shape)] for conv/BN/dense variables."""
+    if cfg.use_bl:
+        raise NotImplementedError(
+            "TF-checkpoint import for Big-Little models needs the upstream "
+            "variable layout (reference mount empty; SURVEY.md §0)")
     namer = _Namer()
     out = []
 

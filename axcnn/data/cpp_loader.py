@@ -36,9 +36,10 @@ def get_lib():
         return _LIB
     if os.environ.get("AXCNN_NO_CPP"):
         raise RuntimeError("native loader disabled via AXCNN_NO_CPP")
-    if not os.path.exists(_SO_PATH):
+    so_path = os.environ.get("AXCNN_LOADER_SO", _SO_PATH)  # sanitizer builds
+    if so_path == _SO_PATH and not os.path.exists(so_path):
         _build()
-    lib = ctypes.CDLL(_SO_PATH)
+    lib = ctypes.CDLL(so_path)
     lib.axcnn_decode_batch.restype = ctypes.c_int
     lib.axcnn_decode_batch.argtypes = [
         ctypes.POINTER(ctypes.c_void_p),   # payloads

@@ -74,10 +74,12 @@ class ModelConfig:
             raise ValueError(f"resnet_size must be one of {sorted(RESNET_BLOCKS)}")
         if self.anti_alias_type not in ("none", "sconv", "proj", "max"):
             raise ValueError(f"bad anti_alias_type {self.anti_alias_type!r}")
-        if self.bl_alpha or self.bl_beta:
-            raise NotImplementedError(
-                "Big-Little branches are not built yet (SURVEY.md §2: upstream "
-                "wiring is K-med; scheduled for a later milestone)")
+        if (self.bl_alpha > 0) != (self.bl_beta > 0):
+            raise ValueError("bl_alpha and bl_beta must be set together")
+
+    @property
+    def use_bl(self) -> bool:
+        return self.bl_alpha > 0 and self.bl_beta > 0
 
     @property
     def blocks(self):
@@ -132,6 +134,95 @@ def _block_init(key, cfg: ModelConfig, in_ch, filters, *, has_proj, dtype):
     return params, state
 
 
+# ---------------------------------------------------------------------------
+# Big-Little stages (bL-Net, Chen et al. 2019; reference flags bl_alpha /
+# bl_beta — upstream wiring tagged K-med in SURVEY.md §0, so this follows the
+# published bL-ResNet recipe):
+#   Big branch   : the stage's blocks at HALF resolution (first block does the
+#                  stride-2), full width — heavy compute on small maps.
+#   Little branch: max(1, n//beta) blocks at FULL resolution, width/alpha,
+#                  then a 1x1 conv+BN up to the stage width.
+#   Merge        : nearest-upsample big to full res, add, ReLU; then one
+#                  stride-2 transition block produces the stage output.
+# Applied to stages 2-3 (stage 1 has no stride; stage 4's maps are already
+# small — matching the paper's placement).
+# ---------------------------------------------------------------------------
+
+_BL_STAGES = (1, 2)  # 0-indexed stage ids that get the dual branches
+
+
+def _bl_little_width(cfg: ModelConfig, filters: int) -> int:
+    return max(filters // max(cfg.bl_alpha, 1), 16)
+
+
+def _bl_stage_init(key, cfg: ModelConfig, in_ch: int, filters: int,
+                   n_blocks: int, *, dtype):
+    out_ch = filters * _EXPANSION
+    lf = _bl_little_width(cfg, filters)
+    l_out = lf * _EXPANSION
+    n_little = max(1, n_blocks // max(cfg.bl_beta, 1))
+    keys = jax.random.split(key, 4)
+    params, state = {}, {}
+
+    bp, bs_ = {}, {}
+    ch = in_ch
+    block_keys = jax.random.split(keys[0], max(n_blocks - 1, 1))
+    for b in range(max(n_blocks - 1, 1)):
+        bp[f"block{b}"], bs_[f"block{b}"] = _block_init(
+            block_keys[b], cfg, ch, filters, has_proj=b == 0, dtype=dtype)
+        ch = out_ch
+    params["big"], state["big"] = bp, bs_
+
+    lp, ls = {}, {}
+    ch = in_ch
+    little_keys = jax.random.split(keys[1], n_little)
+    for b in range(n_little):
+        lp[f"block{b}"], ls[f"block{b}"] = _block_init(
+            little_keys[b], cfg, ch, lf, has_proj=b == 0, dtype=dtype)
+        ch = l_out
+    params["little"], state["little"] = lp, ls
+
+    params["little_proj"] = conv_init(keys[2], 1, l_out, out_ch, dtype=dtype)
+    params["little_proj_bn"], state["little_proj_bn"] = bn_init(out_ch, dtype=dtype)
+
+    params["trans"], state["trans"] = _block_init(
+        keys[3], cfg, out_ch, filters, has_proj=True, dtype=dtype)
+    return params, state
+
+
+def _bl_stage_apply(params, state, x, cfg: ModelConfig, *, train, policy,
+                    axis_name):
+    new_state = {"big": {}, "little": {}}
+    cd = policy.compute_dtype
+
+    big = x
+    for b in range(len(params["big"])):
+        big, new_state["big"][f"block{b}"] = _block_apply(
+            params["big"][f"block{b}"], state["big"][f"block{b}"], big, cfg,
+            stride=2 if b == 0 else 1, train=train, policy=policy,
+            axis_name=axis_name)
+
+    little = x
+    for b in range(len(params["little"])):
+        little, new_state["little"][f"block{b}"] = _block_apply(
+            params["little"][f"block{b}"], state["little"][f"block{b}"],
+            little, cfg, stride=1, train=train, policy=policy,
+            axis_name=axis_name)
+    little = conv_apply(params["little_proj"], little, stride=1, compute_dtype=cd)
+    little, new_state["little_proj_bn"] = bn_apply(
+        params["little_proj_bn"], state["little_proj_bn"], little, train=train,
+        momentum=cfg.bn_momentum, axis_name=axis_name)
+
+    n, hh, ww, c = little.shape
+    big_up = jax.image.resize(big, (n, hh, ww, c), method="nearest")
+    merged = jax.nn.relu(big_up + little)
+
+    out, new_state["trans"] = _block_apply(
+        params["trans"], state["trans"], merged, cfg, stride=2, train=train,
+        policy=policy, axis_name=axis_name)
+    return out, new_state
+
+
 def resnet_init(key, cfg: ModelConfig, *, dtype=jnp.float32):
     """Build (params, state) pytrees for the configured model."""
     k_stem, k_body, k_head = jax.random.split(key, 3)
@@ -142,6 +233,11 @@ def resnet_init(key, cfg: ModelConfig, *, dtype=jnp.float32):
     stage_keys = jax.random.split(k_body, 4)
     for s in range(4):
         filters = cfg.stage_filters(s)
+        if cfg.use_bl and s in _BL_STAGES:
+            params[f"stage{s + 1}"], state[f"stage{s + 1}"] = _bl_stage_init(
+                stage_keys[s], cfg, in_ch, filters, cfg.blocks[s], dtype=dtype)
+            in_ch = filters * _EXPANSION
+            continue
         sp, ss = {}, {}
         block_keys = jax.random.split(stage_keys[s], cfg.blocks[s])
         for b in range(cfg.blocks[s]):
@@ -272,6 +368,15 @@ def resnet_apply(
     for s in range(4):
         stage, sname = s + 1, f"stage{s + 1}"
         sp, ss = params[sname], state[sname]
+        if cfg.use_bl and s in _BL_STAGES:
+            x, new_state[sname] = _bl_stage_apply(
+                sp, ss, x, cfg, train=train, policy=policy, axis_name=axis_name)
+            if cfg.use_dropblock and train and stage in cfg.dropblock_stages:
+                if rng is None:
+                    raise ValueError("training with DropBlock requires rng")
+                x = dropblock(rng(f"dropblock/{sname}/out"), x, keep_prob=kp,
+                              block_size=cfg.dropblock_block_size, train=True)
+            continue
         ns = {}
         for b in range(cfg.blocks[s]):
             stride = 2 if (s > 0 and b == 0) else 1

@@ -72,11 +72,12 @@ def _load_teacher(cfg: Config):
         use_resnet_d=cfg.model.use_resnet_d, use_se_block=cfg.model.use_se_block,
         use_sk_block=cfg.model.use_sk_block,
         anti_alias_type=cfg.model.anti_alias_type)
-    t_params, t_state = resnet_init(jax.random.key(0), t_cfg)
+    # abstract template (structure only): avoids eager init on device
+    t_params, t_state = jax.eval_shape(
+        lambda k: resnet_init(k, t_cfg), jax.random.key(0))
     mgr = CheckpointManager(cfg.train.kd_teacher_checkpoint)
     template = TrainState(step=0, params=t_params, model_state=t_state,
-                          velocity=jax.tree.map(jnp.zeros_like, t_params),
-                          ema=jax.tree.map(jnp.zeros_like, t_params))
+                          velocity=t_params, ema=t_params)
     restored = mgr.restore(template)
     if restored is None:
         raise FileNotFoundError(
@@ -213,11 +214,25 @@ def run(cfg: Config):
         train_loader.state = loader_state
         logger.log("restore", int(state.step), epoch=loader_state.epoch)
 
+    def _maybe_export():
+        if not cfg.runtime.export_dir:
+            return
+        from axcnn.ckpt.export import export_serving
+
+        infer_params = state.ema if (cfg.train.use_ema and state.ema is not None) \
+            else state.params
+        export_serving(cfg.runtime.export_dir, cfg.model, infer_params,
+                       state.model_state, image_size=cfg.data.image_size,
+                       policy=policy, mean=info.mean_rgb, std=info.stddev_rgb)
+        logger.log("export", int(jax.device_get(state.step)),
+                   path=cfg.runtime.export_dir)
+
     if cfg.runtime.eval_only:
         metrics = evaluate(eval_step_fn, state, eval_loader,
                            batch_size=cfg.train.batch_size, mesh=mesh,
                            prefetch=cfg.data.prefetch)
         logger.log("eval", int(jax.device_get(state.step)), **metrics)
+        _maybe_export()
         ckpt.close()
         return metrics
 
@@ -261,6 +276,7 @@ def run(cfg: Config):
                 logger.log("early_stop", step, top1=eval_metrics["top1"])
                 break
 
+    _maybe_export()
     ckpt.wait()
     ckpt.close()
     logger.close()

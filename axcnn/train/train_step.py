@@ -43,14 +43,20 @@ class TrainState(NamedTuple):
 
 
 def create_train_state(key, cfg: ModelConfig, *, use_ema: bool = True):
-    params, model_state = resnet_init(key, cfg)
-    return TrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=params,
-        model_state=model_state,
-        velocity=momentum_init(params),
-        ema=ema_init(params) if use_ema else None,
-    )
+    # jit the whole init: eager init dispatches hundreds of tiny ops, which
+    # costs ~50s through the tunneled TPU (one compile + one dispatch instead)
+    @jax.jit
+    def _init(key):
+        params, model_state = resnet_init(key, cfg)
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            model_state=model_state,
+            velocity=momentum_init(params),
+            ema=ema_init(params) if use_ema else None,
+        )
+
+    return _init(key)
 
 
 def topk_correct(logits, labels, ks=(1, 5)):

@@ -1,0 +1,107 @@
+"""Run-loop integration tests on CPU: train→eval→checkpoint→resume→export,
+warm-start fine-tune, and KD-teacher loading from a checkpoint
+(SURVEY.md §3.1/§3.3 end-to-end paths)."""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from axcnn.models.resnet import ModelConfig
+from axcnn.utils.config import Config, DataConfig, TrainConfig, RuntimeConfig
+
+
+def _tiny_cfg(tmp_path, **train_kw):
+    train = dict(batch_size=4, train_steps=2, base_lr=0.01, lr_warmup_epochs=0,
+                 dtype="fp32", log_every=1, use_ema=True, seed=0)
+    train.update(train_kw)
+    return Config(
+        model=ModelConfig(resnet_size=50, num_classes=1001),
+        data=DataConfig(dataset_name="imagenet", use_synthetic_data=True,
+                        image_size=32),
+        train=TrainConfig(**train),
+        # num_devices=1: single-device loop semantics (the 8-way mesh path is
+        # covered by tests/test_train.py::TestDataParallel)
+        runtime=RuntimeConfig(model_dir=str(tmp_path / "run"), num_devices=1),
+    )
+
+
+class TestRunLoop:
+    def test_train_eval_resume(self, tmp_path):
+        from axcnn.train.loop import run
+
+        cfg = _tiny_cfg(tmp_path)
+        m1 = run(cfg)
+        assert m1["count"] > 0
+        # resume: bump steps, rerun — restores from the saved checkpoint
+        cfg2 = dataclasses.replace(cfg)
+        cfg2.train = dataclasses.replace(cfg.train, train_steps=4)
+        m2 = run(cfg2)
+        assert m2["count"] > 0
+        metrics_path = os.path.join(cfg.runtime.model_dir, "metrics.jsonl")
+        body = open(metrics_path).read()
+        assert '"tag": "restore"' in body
+
+    def test_eval_only(self, tmp_path):
+        from axcnn.train.loop import run
+
+        cfg = _tiny_cfg(tmp_path)
+        run(cfg)
+        cfg.runtime.eval_only = True
+        m = run(cfg)
+        assert set(m) >= {"top1", "top5", "loss", "count"}
+
+    def test_warm_start_excludes_head(self, tmp_path):
+        from axcnn.train.loop import run, _warm_start
+        from axcnn.train.train_step import create_train_state
+
+        # pretrain a 1001-class model
+        cfg = _tiny_cfg(tmp_path)
+        run(cfg)
+        ckpt_dir = os.path.join(cfg.runtime.model_dir, "checkpoints")
+
+        # fine-tune config: different head size
+        ft = _tiny_cfg(tmp_path / "ft")
+        ft.model = ModelConfig(resnet_size=50, num_classes=7)
+        ft.train = dataclasses.replace(ft.train, pretrained_checkpoint=ckpt_dir)
+        state = create_train_state(jax.random.key(1), ft.model, use_ema=True)
+        before_head = np.asarray(state.params["head"]["w"])
+        before_stem = np.asarray(jax.tree.leaves(state.params["stem"])[0])
+        state2 = _warm_start(state, ft)
+        after_head = np.asarray(state2.params["head"]["w"])
+        after_stem = np.asarray(jax.tree.leaves(state2.params["stem"])[0])
+        np.testing.assert_array_equal(before_head, after_head)  # head kept
+        assert not np.array_equal(before_stem, after_stem)      # body loaded
+
+    def test_kd_teacher_from_checkpoint(self, tmp_path):
+        from axcnn.train.loop import run, _load_teacher
+
+        cfg = _tiny_cfg(tmp_path)
+        run(cfg)
+        ckpt_dir = os.path.join(cfg.runtime.model_dir, "checkpoints")
+        kd = _tiny_cfg(tmp_path / "kd", kd_teacher_checkpoint=ckpt_dir)
+        teacher = _load_teacher(kd)
+        assert teacher is not None
+        t_cfg, t_params, t_state = teacher
+        assert t_cfg.num_classes == 1001
+        # teacher forward runs
+        from axcnn.models.resnet import resnet_apply
+
+        x = np.zeros((1, 32, 32, 3), np.float32)
+        logits, _ = resnet_apply(t_params, t_state, x, cfg=t_cfg, train=False)
+        assert logits.shape == (1, 1001)
+
+    def test_export_from_loop(self, tmp_path):
+        from axcnn.train.loop import run
+        from axcnn.ckpt.export import load_serving
+
+        cfg = _tiny_cfg(tmp_path)
+        cfg.runtime.export_dir = str(tmp_path / "export")
+        run(cfg)
+        fn, meta = load_serving(cfg.runtime.export_dir)
+        imgs = np.zeros((8, 32, 32, 3), np.uint8)
+        logits = np.asarray(fn(imgs))
+        assert logits.shape == (8, 1001)

@@ -95,9 +95,27 @@ class TestAssemblyKnobs:
             # canonical counts: R101=44,549,160  R152=60,192,808
             assert n == {101: 44_549_160, 152: 60_192_808}[size]
 
-    def test_big_little_gated(self):
-        with pytest.raises(NotImplementedError):
-            ModelConfig(bl_alpha=2, bl_beta=4)
+    def test_big_little_forward(self):
+        cfg = ModelConfig(bl_alpha=2, bl_beta=4, num_classes=1000)
+        (logits, _), (params, _) = _fwd(cfg, size=64)
+        assert logits.shape == (2, 1000)
+        assert np.all(np.isfinite(np.asarray(logits)))
+        # bL stages 2-3 have dual branches + transition block
+        s2 = params["stage2"]
+        assert "big" in s2 and "little" in s2 and "trans" in s2
+        assert "block0" in params["stage1"]  # stage 1 stays standard
+        assert "block0" in params["stage4"]  # stage 4 stays standard
+
+    def test_big_little_train_with_assembly(self):
+        cfg = ModelConfig(bl_alpha=2, bl_beta=4, use_resnet_d=True,
+                          use_se_block=True, use_sk_block=True,
+                          anti_alias_type="sconv", use_dropblock=True)
+        (logits, _), _ = _fwd(cfg, size=64, train=True)
+        assert np.all(np.isfinite(np.asarray(logits)))
+
+    def test_big_little_validation(self):
+        with pytest.raises(ValueError):
+            ModelConfig(bl_alpha=2, bl_beta=0)
 
 
 class TestPolicies:
