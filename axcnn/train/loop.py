@@ -151,7 +151,8 @@ def run(cfg: Config):
                      data=cfg.data, train=cfg.train, runtime=cfg.runtime)
 
     policy = policy_from_name(cfg.train.dtype)
-    logger = MetricLogger(cfg.runtime.model_dir)
+    logger = MetricLogger(cfg.runtime.model_dir,
+                          tensorboard=cfg.runtime.tensorboard)
 
     devices = jax.devices()
     n_dev = cfg.runtime.num_devices or len(devices)

@@ -72,6 +72,7 @@ class RuntimeConfig:
     keep_checkpoint_max: int = 5
     num_devices: int = 0  # 0 = all visible
     profile_steps: int = 0  # >0: wrap N steps in jax.profiler.trace
+    tensorboard: bool = False  # also write TB scalar summaries to <model_dir>/tb
     eval_only: bool = False
     eval_imagenet_c: bool = False  # mCE mode
     export_dir: str = ""

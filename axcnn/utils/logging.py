@@ -17,14 +17,27 @@ import time
 
 class MetricLogger:
     """Writes one JSON object per event to ``<dir>/metrics.jsonl`` and a
-    compact line to stdout."""
+    compact line to stdout. ``tensorboard=True`` additionally writes TB
+    scalar summaries to ``<dir>/tb`` (the reference's Estimator summaries,
+    SURVEY.md §5.5) — opt-in because importing TF costs ~10s."""
 
-    def __init__(self, directory: str | None = None, *, quiet: bool = False):
+    def __init__(self, directory: str | None = None, *, quiet: bool = False,
+                 tensorboard: bool = False):
         self._f = None
         self._quiet = quiet
+        self._tb = None
         if directory:
             os.makedirs(directory, exist_ok=True)
             self._f = open(os.path.join(directory, "metrics.jsonl"), "a")
+            if tensorboard:
+                try:
+                    import tensorflow as tf
+
+                    self._tb = tf.summary.create_file_writer(
+                        os.path.join(directory, "tb"))
+                except ImportError:
+                    print("tensorboard requested but tensorflow unavailable",
+                          file=sys.stderr)
 
     def log(self, tag: str, step: int, **metrics):
         rec = {"tag": tag, "step": int(step), "time": time.time()}
@@ -33,6 +46,14 @@ class MetricLogger:
         if self._f:
             self._f.write(json.dumps(rec) + "\n")
             self._f.flush()
+        if self._tb is not None:
+            import tensorflow as tf
+
+            with self._tb.as_default():
+                for k, v in rec.items():
+                    if k not in ("tag", "time", "step") and isinstance(v, float):
+                        tf.summary.scalar(f"{tag}/{k}", v, step=int(step))
+            self._tb.flush()
         if not self._quiet:
             body = " ".join(
                 f"{k}={v:.6g}" if isinstance(v, float) else f"{k}={v}"
@@ -42,6 +63,8 @@ class MetricLogger:
     def close(self):
         if self._f:
             self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 class Throughput:
