@@ -52,9 +52,12 @@ def _make_loaders(cfg: Config, info: DatasetInfo):
                   num_workers=cfg.data.num_workers,
                   use_native=cfg.data.loader == "cpp",
                   host_id=jax.process_index(), num_hosts=jax.process_count())
+    # device AutoAugment: the host loader only decodes/crops (which also lets
+    # the native C++ decode path serve augmented training)
+    host_aa = "none" if cfg.data.autoaugment_device else cfg.data.autoaugment_type
     train_loader = TFRecordImageLoader(
         cfg.data.data_dir, info, batch_size=cfg.train.batch_size, train=True,
-        autoaugment_type=cfg.data.autoaugment_type, seed=cfg.train.seed,
+        autoaugment_type=host_aa, seed=cfg.train.seed,
         shuffle_buffer=cfg.data.shuffle_buffer, **common)
     eval_loader = TFRecordImageLoader(
         cfg.data.data_dir, info, batch_size=cfg.train.batch_size, train=False,
@@ -180,6 +183,14 @@ def run(cfg: Config):
 
     teacher = _load_teacher(cfg)
 
+    autoaugment_fn = None
+    if cfg.data.autoaugment_device and cfg.data.autoaugment_type != "none" \
+            and not cfg.data.use_synthetic_data:
+        from axcnn.data.autoaugment_device import make_device_autoaugment
+
+        autoaugment_fn = make_device_autoaugment(
+            cfg.data.autoaugment_type, num_groups=cfg.data.aa_num_groups)
+
     train_step = make_train_step(
         cfg.model, lr_schedule=lr_schedule, total_steps=total_steps,
         policy=policy, label_smoothing=cfg.train.label_smoothing,
@@ -188,7 +199,8 @@ def run(cfg: Config):
         ema_decay=cfg.train.ema_decay,
         axis_name=DATA_AXIS if use_mesh else None,
         teacher=teacher, kd_temp=cfg.train.kd_temp, kd_alpha=cfg.train.kd_alpha,
-        mean_rgb=info.mean_rgb, stddev_rgb=info.stddev_rgb)
+        mean_rgb=info.mean_rgb, stddev_rgb=info.stddev_rgb,
+        autoaugment_fn=autoaugment_fn)
     eval_step = make_eval_step(
         cfg.model, policy=policy, use_ema=cfg.train.use_ema,
         mean_rgb=info.mean_rgb, stddev_rgb=info.stddev_rgb)

@@ -92,6 +92,7 @@ def make_train_step(
     kd_alpha: float = 1.0,
     mean_rgb=None,
     stddev_rgb=None,
+    autoaugment_fn=None,  # on-device AutoAugment (data.autoaugment_device)
 ):
     """Builds ``train_step(state, batch, root_key) -> (state, metrics)``.
 
@@ -108,7 +109,13 @@ def make_train_step(
             # only if sampled before the fold; we keep it per-shard local)
             rng = RngStream(jax.random.fold_in(rng("shard"), jax.lax.axis_index(axis_name)))
 
-        images = normalize_device(batch["images"], mean_rgb, stddev_rgb)
+        raw = batch["images"]
+        if autoaugment_fn is not None:
+            # on-device AutoAugment: the whole augmentation policy runs as
+            # part of this XLA program (BASELINE north star) — the host
+            # loader only decodes/crops
+            raw = autoaugment_fn(rng("autoaugment"), raw)
+        images = normalize_device(raw, mean_rgb, stddev_rgb)
         labels = batch["labels"]
         if mixup_alpha > 0:
             images, labels_a, labels_b, lam = mixup_batch(

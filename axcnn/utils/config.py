@@ -30,6 +30,12 @@ class DataConfig:
     image_size: int = 224
     resize_min: int = 256  # eval: shorter-side resize (preprocessing_type 224_256a)
     autoaugment_type: str = "none"  # none | v0 | imagenet
+    # run AutoAugment on-device inside the jitted step (XLA preprocessing
+    # graph; required for augmented training with the C++ loader). Costs
+    # ~60-120ms/step on this chip (conditional overhead through the tunnel);
+    # the host PIL path is the default and matches the reference exactly.
+    autoaugment_device: bool = False
+    aa_num_groups: int = 8  # device AA: sub-policies drawn per batch group
     mixup_alpha: float = 0.0
     num_workers: int = 8
     shuffle_buffer: int = 4096
