@@ -274,6 +274,11 @@ def run(cfg: Config):
             m = jax.device_get(metrics)
             logger.log("train", step, epoch=step / steps_per_epoch,
                        images_per_sec=ips or 0.0, **{k: float(v) for k, v in m.items()})
+        # periodic checkpoints between evals (reference: save_checkpoint_steps)
+        if (cfg.runtime.save_checkpoint_steps
+                and step % cfg.runtime.save_checkpoint_steps == 0):
+            ckpt.save(state, loader_state=train_loader.state,
+                      rng_seed=cfg.train.seed)
         # eval + checkpoint at epoch boundaries (epochs_between_evals)
         at_eval = (step % (steps_per_epoch * cfg.train.epochs_between_evals) == 0
                    or step == total_steps)
