@@ -218,9 +218,17 @@ def device_prefetch(iterator, *, size: int = 2, sharding=None):
 
     def _producer():
         try:
+            multihost = jax.process_count() > 1
             for batch in iterator:
                 if sharding is not None:
-                    batch = jax.device_put(batch, sharding)
+                    if multihost:
+                        # each host contributes its local shard of the global
+                        # batch (per-host input sharding, SURVEY.md §5.8)
+                        batch = jax.tree.map(
+                            lambda x: jax.make_array_from_process_local_data(
+                                sharding, x), batch)
+                    else:
+                        batch = jax.device_put(batch, sharding)
                 else:
                     batch = jax.device_put(batch)
                 q.put(batch)

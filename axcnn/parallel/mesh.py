@@ -53,8 +53,17 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Place a host batch with leading dim sharded over the data axis."""
-    return jax.device_put(batch, batch_sharding(mesh))
+    """Place a host batch with leading dim sharded over the data axis.
+
+    Single-process: a plain sharded device_put. Multi-host: each process
+    passes its LOCAL shard (1/process_count of the global batch, read from
+    its disjoint file shards) and the global array is assembled without any
+    cross-host data movement."""
+    sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x), batch)
+    return jax.device_put(batch, sharding)
 
 
 def _shard_map(fn, mesh, in_specs, out_specs):

@@ -38,12 +38,15 @@ def _dataset_info(cfg: Config) -> DatasetInfo:
 
 
 def _make_loaders(cfg: Config, info: DatasetInfo):
+    # each host loads its local slice of the global batch (per-host input
+    # sharding; shard_batch/device_prefetch assemble the global array)
+    local_bs = cfg.train.batch_size // jax.process_count()
     if cfg.data.use_synthetic_data:
         train_loader = SyntheticLoader(
-            batch_size=cfg.train.batch_size, image_size=cfg.data.image_size,
+            batch_size=local_bs, image_size=cfg.data.image_size,
             num_classes=cfg.model.num_classes, seed=cfg.train.seed)
         eval_loader = SyntheticLoader(
-            batch_size=cfg.train.batch_size, image_size=cfg.data.image_size,
+            batch_size=local_bs, image_size=cfg.data.image_size,
             num_classes=cfg.model.num_classes, seed=cfg.train.seed + 1,
             num_batches=4)
         return train_loader, eval_loader
@@ -56,11 +59,11 @@ def _make_loaders(cfg: Config, info: DatasetInfo):
     # the native C++ decode path serve augmented training)
     host_aa = "none" if cfg.data.autoaugment_device else cfg.data.autoaugment_type
     train_loader = TFRecordImageLoader(
-        cfg.data.data_dir, info, batch_size=cfg.train.batch_size, train=True,
+        cfg.data.data_dir, info, batch_size=local_bs, train=True,
         autoaugment_type=host_aa, seed=cfg.train.seed,
         shuffle_buffer=cfg.data.shuffle_buffer, **common)
     eval_loader = TFRecordImageLoader(
-        cfg.data.data_dir, info, batch_size=cfg.train.batch_size, train=False,
+        cfg.data.data_dir, info, batch_size=local_bs, train=False,
         drop_remainder=False, **common)
     return train_loader, eval_loader
 
@@ -242,7 +245,8 @@ def run(cfg: Config):
 
     if cfg.runtime.eval_only:
         metrics = evaluate(eval_step_fn, state, eval_loader,
-                           batch_size=cfg.train.batch_size, mesh=mesh,
+                           batch_size=cfg.train.batch_size // jax.process_count(),
+                           mesh=mesh,
                            prefetch=cfg.data.prefetch)
         logger.log("eval", int(jax.device_get(state.step)), **metrics)
         _maybe_export()
@@ -284,7 +288,8 @@ def run(cfg: Config):
                    or step == total_steps)
         if at_eval:
             eval_metrics = evaluate(eval_step_fn, state, eval_loader,
-                                    batch_size=cfg.train.batch_size, mesh=mesh,
+                                    batch_size=cfg.train.batch_size // jax.process_count(),
+                                    mesh=mesh,
                                     prefetch=cfg.data.prefetch)
             logger.log("eval", step, **eval_metrics)
             ckpt.save(state, loader_state=train_loader.state,
