@@ -25,8 +25,6 @@ parity is tested against the host implementation in tests/test_autoaugment_devic
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax

@@ -18,7 +18,6 @@ is in the data loader).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import numpy as np

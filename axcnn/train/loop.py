@@ -172,11 +172,9 @@ def run(cfg: Config):
     if cfg.train.train_steps > 0:
         total_steps = cfg.train.train_steps
         steps_per_epoch = total_steps
-        num_evals = 1
     else:
         steps_per_epoch = max(info.num_train // cfg.train.batch_size, 1)
         total_steps = steps_per_epoch * cfg.train.train_epochs
-        num_evals = max(math.ceil(cfg.train.train_epochs / cfg.train.epochs_between_evals), 1)
 
     base_lr = scale_lr_for_batch(cfg.train.base_lr, cfg.train.batch_size)
     lr_schedule = make_lr_schedule(

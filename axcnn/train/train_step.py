@@ -18,7 +18,6 @@ TPU-first design:
 
 from __future__ import annotations
 
-import functools
 from typing import Any, NamedTuple
 
 import jax
@@ -63,11 +62,13 @@ def topk_correct(logits, labels, ks=(1, 5)):
     """Returns {f'top{k}': count of correct} (sums, not means — so shards /
     batches aggregate exactly)."""
     out = {}
+    num_classes = logits.shape[-1]
     for k in ks:
-        if k == 1:
+        kk = min(k, num_classes)  # few-class datasets: top-5 of 3 classes
+        if kk == 1:
             correct = jnp.argmax(logits, axis=-1) == labels
         else:
-            _, topk = jax.lax.top_k(logits, k)
+            _, topk = jax.lax.top_k(logits, kk)
             correct = jnp.any(topk == labels[:, None], axis=-1)
         out[f"top{k}"] = jnp.sum(correct.astype(jnp.float32))
     return out

@@ -1,0 +1,83 @@
+"""End-to-end learnability: the full training stack must actually learn a
+separable signal (color → class) from JPEG bytes through the loader, in a
+few dozen steps — the closest offline stand-in for the top-1 acceptance runs
+(no ImageNet mounted this round; SURVEY.md §0)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+from PIL import Image
+
+import jax
+
+from axcnn.data.build_tfrecords import write_shards
+from axcnn.data.datasets import DatasetInfo
+from axcnn.data.pipeline import TFRecordImageLoader
+from axcnn.models.resnet import ModelConfig
+from axcnn.train.schedules import make_lr_schedule
+from axcnn.train.train_step import (
+    create_train_state, make_train_step, make_eval_step, pad_batch)
+
+
+def _make_color_dataset(tmp_path, n_per_class=24):
+    """class 1 = red-dominant, class 2 = blue-dominant images."""
+    rng = np.random.default_rng(0)
+    raw = tmp_path / "raw"
+    items = []
+    for label, cls in ((1, "red"), (2, "blue")):
+        d = raw / cls
+        d.mkdir(parents=True, exist_ok=True)
+        for i in range(n_per_class):
+            img = rng.integers(0, 100, (40, 40, 3)).astype(np.uint8)
+            img[..., 0 if cls == "red" else 2] += 130
+            Image.fromarray(img).save(d / f"{i}.jpg", "JPEG", quality=95)
+            items.append((str(d / f"{i}.jpg"), label, cls))
+    out = tmp_path / "rec"
+    write_shards(items, str(out), "train", 2)
+    info = DatasetInfo("colors", num_classes=3, num_train=2 * n_per_class,
+                       num_eval=2 * n_per_class, train_prefix="train",
+                       eval_prefix="train")
+    return str(out), info
+
+
+def test_learns_color_classification(tmp_path):
+    data_dir, info = _make_color_dataset(tmp_path)
+    # fast BN momentum: moving stats must converge within 25 steps for the
+    # eval check (the default 0.997 needs ~1k steps)
+    cfg = ModelConfig(resnet_size=50, num_classes=3, bn_momentum=0.5)
+    bs = 16
+    loader = TFRecordImageLoader(data_dir, info, batch_size=bs, train=True,
+                                 image_size=32, seed=0, num_workers=2)
+    steps = 25
+    step_fn = jax.jit(make_train_step(
+        cfg,
+        lr_schedule=make_lr_schedule(base_lr=0.02, total_steps=steps,
+                                     warmup_steps=3),
+        total_steps=steps, label_smoothing=0.0, mixup_alpha=0.0,
+        weight_decay=1e-4, use_ema=False,
+        mean_rgb=info.mean_rgb, stddev_rgb=info.stddev_rgb))
+    state = create_train_state(jax.random.key(0), cfg, use_ema=False)
+    key = jax.random.key(1)
+    it = iter(loader)
+    for _ in range(steps):
+        state, m = step_fn(state, next(it), key)
+    final_top1 = float(m["train_top1"])
+    assert np.isfinite(float(m["loss"]))
+    # the task is linearly separable in mean color: must beat chance strongly
+    assert final_top1 >= 0.8, final_top1
+
+    # eval on the train set with the trained weights: near-perfect
+    eval_fn = jax.jit(make_eval_step(cfg, mean_rgb=info.mean_rgb,
+                                     stddev_rgb=info.stddev_rgb))
+    eval_loader = TFRecordImageLoader(data_dir, info, batch_size=bs,
+                                      train=False, image_size=32,
+                                      num_workers=2, drop_remainder=False)
+    tot = {"top1": 0.0, "count": 0.0}
+    for b in eval_loader:
+        mm = jax.device_get(eval_fn(state, pad_batch(b, bs)))
+        tot["top1"] += float(mm["top1"])
+        tot["count"] += float(mm["count"])
+    acc = tot["top1"] / tot["count"]
+    assert acc >= 0.9, acc
