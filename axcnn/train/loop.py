@@ -119,8 +119,11 @@ def _warm_start(state: TrainState, cfg: Config) -> TrainState:
             continue
         new_params[k] = jax.tree.map(jnp.asarray, v)
     new_mstate = jax.tree.map(jnp.asarray, raw["model_state"])
+    from axcnn.train.ema import ema_init  # explicit copy: astype would alias
+    # params and ema buffers, which breaks donation in the train step
+
     return state._replace(params=new_params, model_state=new_mstate,
-                          ema=jax.tree.map(lambda p: p.astype(jnp.float32), new_params)
+                          ema=ema_init(new_params)
                           if state.ema is not None else None)
 
 
