@@ -11,8 +11,8 @@ public Google reference (``policy_v0`` lineage, tagged [K-med] in SURVEY.md
 
 Design note: augmentation is host work by design — it operates on uint8
 images pre-batch, overlapped with device compute by the loader's prefetch
-pipeline. The C++ loader (cpp/) applies the same policies via SIMD; this
-module is the bootstrap implementation and the semantics reference.
+pipeline. This module is the semantics reference; the same policies also
+exist as an on-device XLA graph (autoaugment_device.py).
 """
 
 from __future__ import annotations

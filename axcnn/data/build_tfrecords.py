@@ -2,12 +2,13 @@
 SURVEY.md §2 item 11; Inception ``build_imagenet_data`` lineage).
 
 Layout expected: ``root/<split>/<class_name>/*.jpg``. Classes are sorted
-lexicographically; ImageNet labels are 1-indexed (0 = background) matching
-the reference's 1001-way head.
+lexicographically. The label offset is derived from ``--dataset``: ImageNet
+labels are 1-indexed (0 = background, matching the reference's 1001-way
+head); every FGVC dataset has an exactly-N-way head and gets offset 0.
 
 Usage:
     python -m axcnn.data.build_tfrecords --input_dir=... --output_dir=... \
-        --split=train --num_shards=128
+        --dataset=imagenet --split=train --num_shards=128
 """
 
 from __future__ import annotations
@@ -61,23 +62,51 @@ def write_shards(items, output_dir: str, prefix: str, num_shards: int, *,
     return n
 
 
+def resolve_label_offset(dataset: str | None, explicit: int | None,
+                         num_classes_found: int) -> int:
+    """Offset from the registry (background class only for ImageNet-style
+    heads); an explicit --label_offset overrides but is validated against the
+    registry head size so out-of-range labels fail here, not inside training."""
+    from axcnn.data.datasets import get_dataset
+
+    info = get_dataset(dataset) if dataset else None
+    offset = explicit
+    if offset is None:
+        offset = info.label_offset if info else 0
+    if info and num_classes_found + offset > info.num_classes:
+        raise ValueError(
+            f"{num_classes_found} classes + label_offset {offset} exceeds the "
+            f"{info.num_classes}-way {info.name} head; labels would be "
+            f"silently clipped inside the jitted loss")
+    return offset
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--input_dir", required=True)
     p.add_argument("--output_dir", required=True)
+    p.add_argument("--dataset", default=None,
+                   help="registry name (axcnn.data.datasets); derives the "
+                        "label offset and validates the class count")
     p.add_argument("--split", default="train")
     p.add_argument("--prefix", default=None,
                    help="shard filename prefix (default: 'train'/'validation')")
     p.add_argument("--num_shards", type=int, default=128)
-    p.add_argument("--label_offset", type=int, default=1)
+    p.add_argument("--label_offset", type=int, default=None,
+                   help="override the registry-derived offset (default: "
+                        "1 for ImageNet's 1001-way head, else 0)")
     args = p.parse_args(argv)
 
+    split_dir = os.path.join(args.input_dir, args.split)
+    classes = sorted(d for d in os.listdir(split_dir)
+                     if os.path.isdir(os.path.join(split_dir, d)))
+    offset = resolve_label_offset(args.dataset, args.label_offset, len(classes))
     prefix = args.prefix or ("validation" if args.split.startswith("val") else args.split)
-    items, classes = collect_images(
-        os.path.join(args.input_dir, args.split), label_offset=args.label_offset)
+    items, classes = collect_images(split_dir, label_offset=offset)
     n = write_shards(items, args.output_dir, prefix, args.num_shards,
                      shuffle_seed=0 if args.split == "train" else None)
-    print(f"wrote {n} examples / {len(classes)} classes to {args.output_dir}")
+    print(f"wrote {n} examples / {len(classes)} classes "
+          f"(label_offset={offset}) to {args.output_dir}")
 
 
 if __name__ == "__main__":

@@ -29,6 +29,9 @@ def _build():
                    check=True, capture_output=True)
 
 
+_ABI_VERSION = 2
+
+
 def get_lib():
     """Load (building if needed) the native library; raises on failure."""
     global _LIB
@@ -40,6 +43,19 @@ def get_lib():
     if so_path == _SO_PATH and not os.path.exists(so_path):
         _build()
     lib = ctypes.CDLL(so_path)
+    lib.axcnn_version.restype = ctypes.c_int
+    if lib.axcnn_version() != _ABI_VERSION:
+        if so_path != _SO_PATH:
+            raise RuntimeError(
+                f"{so_path} has loader ABI {lib.axcnn_version()}, expected "
+                f"{_ABI_VERSION} — rebuild it with cpp/build.sh")
+        # stale default build from an older checkout: rebuild in place
+        _build()
+        lib = ctypes.CDLL(so_path)
+        lib.axcnn_version.restype = ctypes.c_int
+        if lib.axcnn_version() != _ABI_VERSION:
+            raise RuntimeError("rebuilt loader still reports wrong ABI "
+                               f"({lib.axcnn_version()} != {_ABI_VERSION})")
     lib.axcnn_decode_batch.restype = ctypes.c_int
     lib.axcnn_decode_batch.argtypes = [
         ctypes.POINTER(ctypes.c_void_p),   # payloads
@@ -48,6 +64,7 @@ def get_lib():
         ctypes.c_int,                      # image_size
         ctypes.c_int,                      # resize_min
         ctypes.c_int,                      # train
+        ctypes.c_int,                      # dct_fast (JDCT_IFAST decode)
         ctypes.POINTER(ctypes.c_uint64),   # seeds
         ctypes.POINTER(ctypes.c_uint8),    # out_images
         ctypes.POINTER(ctypes.c_int32),    # out_labels
@@ -58,8 +75,6 @@ def get_lib():
         ctypes.c_char_p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
-    lib.axcnn_version.restype = ctypes.c_int
-    assert lib.axcnn_version() == 1
     _LIB = lib
     return lib
 
@@ -73,7 +88,8 @@ def available() -> bool:
 
 
 def decode_batch(payloads: list[bytes], *, image_size: int, resize_min: int,
-                 train: bool, seeds, num_threads: int = 8):
+                 train: bool, seeds, num_threads: int = 8,
+                 dct_fast: bool = False):
     """Decode serialized Examples → (images uint8 [n,S,S,3], labels int32 [n],
     n_ok). Failed records get zeros/label=-1."""
     lib = get_lib()
@@ -86,7 +102,8 @@ def decode_batch(payloads: list[bytes], *, image_size: int, resize_min: int,
     sizes = (ctypes.c_int64 * n)(*[len(p) for p in payloads])
     seed_arr = (ctypes.c_uint64 * n)(*[int(s) & (2**64 - 1) for s in seeds])
     ok = lib.axcnn_decode_batch(
-        ptrs, sizes, n, image_size, resize_min, int(train), seed_arr,
+        ptrs, sizes, n, image_size, resize_min, int(train), int(dct_fast),
+        seed_arr,
         images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         num_threads)

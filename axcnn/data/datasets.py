@@ -22,12 +22,16 @@ class DatasetInfo:
     # default image stats (RGB 0-255 scale)
     mean_rgb: tuple = (123.68, 116.78, 103.94)
     stddev_rgb: tuple = (58.393, 57.12, 57.375)
+    # TFRecord label offset: 1 only where the head reserves a background
+    # class (the reference's 1001-way ImageNet head); FGVC heads are exactly
+    # N-way, so their records must carry labels 0..N-1
+    label_offset: int = 0
 
 
 DATASETS = {
-    "imagenet": DatasetInfo("imagenet", 1001, 1_281_167, 50_000),
+    "imagenet": DatasetInfo("imagenet", 1001, 1_281_167, 50_000, label_offset=1),
     # ImageNet-C shares classes with ImageNet; examples are per corruption x severity
-    "imagenet_c": DatasetInfo("imagenet_c", 1001, 0, 50_000),
+    "imagenet_c": DatasetInfo("imagenet_c", 1001, 0, 50_000, label_offset=1),
     "food101": DatasetInfo("food101", 101, 75_750, 25_250),
     "stanford_cars": DatasetInfo("stanford_cars", 196, 8_144, 8_041),
     "cub200": DatasetInfo("cub200", 200, 5_994, 5_794),

@@ -17,19 +17,27 @@ import jax
 import jax.numpy as jnp
 
 
-def mixup_batch(key, images, labels, *, alpha: float = 0.2):
+def mixup_batch(key, images, labels, *, alpha: float = 0.2,
+                symmetric: bool = False):
     """Returns (mixed_images, labels_a, labels_b, lam).
 
-    One lambda per batch (the original-paper and reference recipe). The
-    pairing permutation is the batch reversal — equivalent in distribution to
-    a random permutation for a shuffled batch, and collective-free under
-    data-parallel sharding (each shard mixes locally).
+    One lambda per batch (the original-paper and reference recipe: lam ~
+    Beta(alpha, alpha), NOT symmetrized). The pairing permutation is the
+    batch reversal — equivalent in distribution to a random permutation for
+    a shuffled batch, and collective-free under data-parallel sharding (each
+    shard mixes locally; the caller controls whether lam is shared across
+    shards by where it draws ``key`` from).
+
+    ``symmetric=True`` applies lam <- max(lam, 1-lam), halving the lambda
+    distribution so the "primary" label always dominates. This is a
+    deliberate DEVIATION from the reference recipe (kept from round 1 as an
+    opt-in; see docs/PARITY.md) — default off for recipe parity.
     """
     if alpha <= 0:
         return images, labels, labels, jnp.float32(1.0)
     lam = jax.random.beta(key, alpha, alpha, dtype=jnp.float32)
-    # symmetrize so lam >= 0.5; removes the double-counting ambiguity
-    lam = jnp.maximum(lam, 1.0 - lam)
+    if symmetric:
+        lam = jnp.maximum(lam, 1.0 - lam)
     flipped = images[::-1]
     mixed = images * lam + flipped * (1.0 - lam)
     return mixed.astype(images.dtype), labels, labels[::-1], lam

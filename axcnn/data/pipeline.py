@@ -50,6 +50,7 @@ class TFRecordImageLoader:
         image_size: int = 224,
         resize_min: int = 256,
         autoaugment_type: str = "none",
+        dct_method: str = "INTEGER_ACCURATE",
         seed: int = 0,
         host_id: int = 0,
         num_hosts: int = 1,
@@ -69,6 +70,17 @@ class TFRecordImageLoader:
         self._image_size = image_size
         self._resize_min = resize_min
         self._aa = make_autoaugment(autoaugment_type) if train else None
+        if dct_method not in ("INTEGER_ACCURATE", "INTEGER_FAST"):
+            raise ValueError(f"unknown dct_method {dct_method!r}")
+        if dct_method == "INTEGER_FAST" and not use_native:
+            # PIL exposes no IDCT-method knob (always islow); fast IDCT is a
+            # native-loader capability — it changes pixels, so fail loudly
+            # rather than silently decode differently than requested
+            raise ValueError(
+                "dct_method=INTEGER_FAST requires the native loader "
+                "(data.loader='cpp'); the PIL path always decodes "
+                "INTEGER_ACCURATE")
+        self._dct_fast = dct_method == "INTEGER_FAST"
         self._seed = seed
         self._workers = num_workers
         self._shuffle_buffer = shuffle_buffer
@@ -82,6 +94,11 @@ class TFRecordImageLoader:
 
             warnings.warn("native loader does not implement AutoAugment yet; "
                           "using the Python decode path")
+        if self._dct_fast and not self._native:
+            raise ValueError(
+                "dct_method=INTEGER_FAST is only available on the native "
+                "decode path (it maps to libjpeg JDCT_IFAST); this "
+                "configuration fell back to PIL")
         if self._native:
             from axcnn.data import cpp_loader
 
@@ -131,10 +148,37 @@ class TFRecordImageLoader:
                 1, np.uint64)[0]
             for _, idx in items
         ]
-        imgs, labels, _ = self._cpp.decode_batch(
+        imgs, labels, ok = self._cpp.decode_batch(
             payloads, image_size=self._image_size, resize_min=self._resize_min,
-            train=self._train, seeds=seeds, num_threads=self._workers)
+            train=self._train, seeds=seeds, num_threads=self._workers,
+            dct_fast=self._dct_fast)
+        if ok != len(items):
+            # records the native decoder can't handle (non-JPEG encodings from
+            # build_tfrecords' .png/.bmp support, corrupt payloads) come back
+            # as zeros/label -1: re-decode those slots via the PIL path, which
+            # handles every format — and raises loudly if the record is truly
+            # corrupt instead of training on zero images
+            for i in np.flatnonzero(labels == -1):
+                img, label = self._prepare(items[i][0],
+                                           (self._seed, epoch, int(items[i][1])))
+                imgs[i] = img
+                labels[i] = label
         return {"images": imgs, "labels": labels}
+
+    def _check_labels(self, batch):
+        """Fail loudly on out-of-range labels (e.g. records built with the
+        ImageNet background offset for an N-way FGVC head): a bad label would
+        otherwise be silently clipped by take_along_axis inside the jitted
+        loss and corrupt training for that class."""
+        labels = batch["labels"]
+        n = self._info.num_classes
+        if labels.size and (labels.min() < 0 or labels.max() >= n):
+            bad = labels[(labels < 0) | (labels >= n)][:8]
+            raise ValueError(
+                f"labels out of range for {self._info.name} "
+                f"(num_classes={n}): {bad.tolist()} — were the TFRecords "
+                f"built with the wrong --label_offset?")
+        return batch
 
     def __iter__(self):
         epoch = self.state.epoch
@@ -164,7 +208,7 @@ class TFRecordImageLoader:
                         continue
                     pending.append((payload, rec_idx))
                     if len(pending) == self._bs:
-                        batch = flush(pending)
+                        batch = self._check_labels(flush(pending))
                         pending = []
                         # state is advanced BEFORE the yield: once the consumer
                         # holds batch N, state records N batches delivered
@@ -175,7 +219,7 @@ class TFRecordImageLoader:
                 if pending and not self._drop_remainder:
                     batch_idx += 1
                     self.state = LoaderState(epoch, batch_idx)
-                    yield flush(pending)
+                    yield self._check_labels(flush(pending))
             if not self._train:
                 return
             epoch += 1
@@ -205,40 +249,75 @@ class SyntheticLoader:
             i += 1
 
 
-def device_prefetch(iterator, *, size: int = 2, sharding=None):
+class DevicePrefetch:
     """Background-thread device prefetch: keeps ``size`` batches in flight.
 
     With ``sharding`` (a jax.sharding.Sharding), batches land already laid
     out for the mesh so the jitted step does no re-layout.
-    """
-    import jax
 
-    q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
+    Producer-thread failures are re-raised in the consumer (not swallowed):
+    a decode error must kill training / eval loudly, never truncate it.
+
+    ``state_fn`` (optional) snapshots the source loader's checkpoint state
+    right after each batch is pulled from ``iterator``; the snapshot for the
+    batch the consumer is currently holding is exposed as
+    ``.consumed_state``. This is what checkpoints must record — the loader's
+    own ``.state`` runs up to ``size``+1 batches AHEAD (it is advanced by
+    this producer thread), and saving it would silently skip those batches
+    on resume.
+    """
+
     _END = object()
 
-    def _producer():
-        try:
-            multihost = jax.process_count() > 1
-            for batch in iterator:
-                if sharding is not None:
-                    if multihost:
-                        # each host contributes its local shard of the global
-                        # batch (per-host input sharding, SURVEY.md §5.8)
-                        batch = jax.tree.map(
-                            lambda x: jax.make_array_from_process_local_data(
-                                sharding, x), batch)
-                    else:
-                        batch = jax.device_put(batch, sharding)
-                else:
-                    batch = jax.device_put(batch)
-                q.put(batch)
-        finally:
-            q.put(_END)
+    def __init__(self, iterator, *, size: int = 2, sharding=None,
+                 state_fn=None):
+        import jax
 
-    t = threading.Thread(target=_producer, daemon=True)
-    t.start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        yield item
+        self.consumed_state = None
+        self._q: queue_mod.Queue = queue_mod.Queue(maxsize=size)
+
+        def _producer():
+            try:
+                multihost = jax.process_count() > 1
+                for batch in iterator:
+                    state = state_fn() if state_fn is not None else None
+                    if sharding is not None:
+                        if multihost:
+                            # each host contributes its local shard of the
+                            # global batch (per-host input sharding,
+                            # SURVEY.md §5.8)
+                            batch = jax.tree.map(
+                                lambda x: jax.make_array_from_process_local_data(
+                                    sharding, x), batch)
+                        else:
+                            batch = jax.device_put(batch, sharding)
+                    else:
+                        batch = jax.device_put(batch)
+                    self._q.put((batch, state))
+            except BaseException as exc:  # noqa: BLE001 — forwarded, not dropped
+                self._q.put(exc)
+            else:
+                self._q.put(self._END)
+
+        self._thread = threading.Thread(target=_producer, daemon=True)
+        self._thread.start()
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        item = self._q.get()
+        if item is self._END:
+            raise StopIteration
+        if isinstance(item, BaseException):
+            raise RuntimeError("data pipeline producer thread failed") from item
+        batch, state = item
+        if state is not None:
+            self.consumed_state = state
+        return batch
+
+
+def device_prefetch(iterator, *, size: int = 2, sharding=None, state_fn=None):
+    """See DevicePrefetch; function form kept as the call-site spelling."""
+    return DevicePrefetch(iterator, size=size, sharding=sharding,
+                          state_fn=state_fn)

@@ -13,9 +13,9 @@ knob surface —
 - ``use_dropblock``  : DropBlock(block_size=7) on stages 3-4 with scheduled
                        keep-prob
 - ``zero_gamma``     : last-BN gamma zero-init per block
-- ``bl_alpha/bl_beta``: Big-Little dual-resolution branches [not yet built,
-                       gated with a clear error; SURVEY tags the upstream
-                       wiring K-med]
+- ``bl_alpha/bl_beta``: Big-Little dual-resolution branches (wired per the
+                       bLResNet paper — the upstream wiring is tagged K-med
+                       in SURVEY.md §0, so details are paper-derived)
 
 Design notes (TPU-first, not a TF translation):
 - NHWC activations / HWIO weights end-to-end; bf16 compute via Policy with

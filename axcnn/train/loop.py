@@ -52,6 +52,7 @@ def _make_loaders(cfg: Config, info: DatasetInfo):
         return train_loader, eval_loader
     common = dict(image_size=cfg.data.image_size,
                   resize_min=cfg.data.resize_min,
+                  dct_method=cfg.data.dct_method,
                   num_workers=cfg.data.num_workers,
                   use_native=cfg.data.loader == "cpp",
                   host_id=jax.process_index(), num_hosts=jax.process_count())
@@ -151,13 +152,16 @@ def evaluate(eval_step_fn, state, eval_loader, *, batch_size, mesh=None,
 def run(cfg: Config):
     """Train (and periodically evaluate) per the config; returns final eval
     metrics dict (or eval metrics when runtime.eval_only)."""
+    from axcnn.utils.config import resolve_preprocessing
+    import dataclasses as _dc
+
     info = _dataset_info(cfg)
+    model = cfg.model
     if cfg.model.num_classes != info.num_classes:
         # dataset wins (the reference derives num_classes from data_config)
-        import dataclasses as _dc
-
-        cfg = Config(model=_dc.replace(cfg.model, num_classes=info.num_classes),
-                     data=cfg.data, train=cfg.train, runtime=cfg.runtime)
+        model = _dc.replace(cfg.model, num_classes=info.num_classes)
+    cfg = Config(model=model, data=resolve_preprocessing(cfg.data),
+                 train=cfg.train, runtime=cfg.runtime)
 
     policy = policy_from_name(cfg.train.dtype)
     logger = MetricLogger(cfg.runtime.model_dir,
@@ -198,7 +202,10 @@ def run(cfg: Config):
     train_step = make_train_step(
         cfg.model, lr_schedule=lr_schedule, total_steps=total_steps,
         policy=policy, label_smoothing=cfg.train.label_smoothing,
-        mixup_alpha=cfg.data.mixup_alpha, weight_decay=cfg.train.weight_decay,
+        mixup_alpha=cfg.data.mixup_alpha,
+        mixup_per_shard=cfg.data.mixup_per_shard,
+        mixup_symmetric=cfg.data.mixup_symmetric,
+        weight_decay=cfg.train.weight_decay,
         momentum=cfg.train.momentum, use_ema=cfg.train.use_ema,
         ema_decay=cfg.train.ema_decay,
         axis_name=DATA_AXIS if use_mesh else None,
@@ -260,8 +267,12 @@ def run(cfg: Config):
     eval_metrics = {}
 
     step = int(jax.device_get(state.step))
+    # state_fn: checkpoints must record the position of the batch the loop has
+    # CONSUMED, not train_loader.state (which the prefetch producer thread runs
+    # up to prefetch+1 batches ahead of — saving it would skip data on resume)
     train_iter = device_prefetch(iter(train_loader), size=cfg.data.prefetch,
-                                 sharding=sharding)
+                                 sharding=sharding,
+                                 state_fn=lambda: train_loader.state)
     profiled = False
     while step < total_steps:
         if (cfg.runtime.profile_steps and not profiled and step > 0):
@@ -282,7 +293,8 @@ def run(cfg: Config):
         # periodic checkpoints between evals (reference: save_checkpoint_steps)
         if (cfg.runtime.save_checkpoint_steps
                 and step % cfg.runtime.save_checkpoint_steps == 0):
-            ckpt.save(state, loader_state=train_loader.state,
+            ckpt.save(state, loader_state=train_iter.consumed_state
+                      or train_loader.state,
                       rng_seed=cfg.train.seed)
         # eval + checkpoint at epoch boundaries (epochs_between_evals)
         at_eval = (step % (steps_per_epoch * cfg.train.epochs_between_evals) == 0
@@ -293,7 +305,8 @@ def run(cfg: Config):
                                     mesh=mesh,
                                     prefetch=cfg.data.prefetch)
             logger.log("eval", step, **eval_metrics)
-            ckpt.save(state, loader_state=train_loader.state,
+            ckpt.save(state, loader_state=train_iter.consumed_state
+                      or train_loader.state,
                       rng_seed=cfg.train.seed, force=True)
             if cfg.train.stop_threshold and \
                     eval_metrics["top1"] >= cfg.train.stop_threshold:

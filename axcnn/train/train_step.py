@@ -82,6 +82,8 @@ def make_train_step(
     policy: Policy = DEFAULT_POLICY,
     label_smoothing: float = 0.0,
     mixup_alpha: float = 0.0,
+    mixup_per_shard: bool = False,
+    mixup_symmetric: bool = False,
     weight_decay: float = 1e-4,
     momentum: float = 0.9,
     use_ema: bool = True,
@@ -104,11 +106,14 @@ def make_train_step(
 
     def train_step(state: TrainState, batch, root_key):
         step = state.step
-        rng = RngStream(root_key).fold_step(step)
+        # rng_global is identical on every shard (root_key + step only);
+        # rng is additionally folded by shard index so per-sample
+        # stochasticity (DropBlock, augmentation) decorrelates across shards
+        rng_global = RngStream(root_key).fold_step(step)
+        rng = rng_global
         if axis_name is not None:
-            # decorrelate per-shard stochasticity (mixup lambda stays shared
-            # only if sampled before the fold; we keep it per-shard local)
-            rng = RngStream(jax.random.fold_in(rng("shard"), jax.lax.axis_index(axis_name)))
+            rng = RngStream(jax.random.fold_in(
+                rng_global("shard"), jax.lax.axis_index(axis_name)))
 
         raw = batch["images"]
         if autoaugment_fn is not None:
@@ -119,8 +124,13 @@ def make_train_step(
         images = normalize_device(raw, mean_rgb, stddev_rgb)
         labels = batch["labels"]
         if mixup_alpha > 0:
+            # reference semantics: ONE lambda for the whole global batch, so
+            # the key is drawn from the pre-fold stream (identical on every
+            # shard); mixup_per_shard opts into independent per-shard lambdas
+            mix_rng = rng if mixup_per_shard else rng_global
             images, labels_a, labels_b, lam = mixup_batch(
-                rng("mixup"), images, labels, alpha=mixup_alpha)
+                mix_rng("mixup"), images, labels, alpha=mixup_alpha,
+                symmetric=mixup_symmetric)
         else:
             labels_a, labels_b, lam = labels, None, 1.0
 

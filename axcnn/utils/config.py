@@ -27,8 +27,16 @@ class DataConfig:
     dataset_name: str = "imagenet"
     data_dir: str = ""
     use_synthetic_data: bool = False
+    # reference --preprocessing_type: 'imagenet_<size>_<min>[a]' sets
+    # (image_size, resize_min) as one named variant (e.g. imagenet_224_256a);
+    # '' keeps the explicit fields below
+    preprocessing_type: str = ""
     image_size: int = 224
     resize_min: int = 256  # eval: shorter-side resize (preprocessing_type 224_256a)
+    # JPEG IDCT method, reference --dct_method: 'INTEGER_ACCURATE' (islow,
+    # the parity default — PIL always decodes this way) | 'INTEGER_FAST'
+    # (ifast; only the native C++ loader honors it)
+    dct_method: str = "INTEGER_ACCURATE"
     autoaugment_type: str = "none"  # none | v0 | imagenet
     # run AutoAugment on-device inside the jitted step (XLA preprocessing
     # graph; required for augmented training with the C++ loader). Costs
@@ -37,6 +45,12 @@ class DataConfig:
     autoaugment_device: bool = False
     aa_num_groups: int = 8  # device AA: sub-policies drawn per batch group
     mixup_alpha: float = 0.0
+    # lambda scope under data parallelism: False (reference) = one lambda per
+    # global batch; True = independent lambda per DP shard
+    mixup_per_shard: bool = False
+    # lambda <- max(lambda, 1-lambda): opt-in deviation from the reference
+    # recipe (halves the lambda distribution; see docs/PARITY.md)
+    mixup_symmetric: bool = False
     num_workers: int = 8
     shuffle_buffer: int = 4096
     prefetch: int = 2
@@ -96,6 +110,23 @@ class Config:
 
     def to_json(self) -> str:
         return json.dumps(self.to_dict(), indent=2, default=str)
+
+
+def resolve_preprocessing(data: DataConfig) -> DataConfig:
+    """Expand ``preprocessing_type`` ('imagenet_<size>_<min>[variant]') into
+    (image_size, resize_min); empty string keeps the explicit fields."""
+    if not data.preprocessing_type:
+        return data
+    import re
+
+    m = re.fullmatch(r"imagenet_(\d+)_(\d+)[a-z]?", data.preprocessing_type)
+    if not m:
+        raise ValueError(
+            f"unknown preprocessing_type {data.preprocessing_type!r} "
+            "(expected 'imagenet_<crop>_<resize_min>[variant]', "
+            "e.g. 'imagenet_224_256a')")
+    return dataclasses.replace(data, image_size=int(m.group(1)),
+                               resize_min=int(m.group(2)))
 
 
 def _parse_value(raw: str, typ) -> Any:

@@ -173,9 +173,12 @@ void jpeg_err_exit(j_common_ptr cinfo) {
   longjmp(e->jb, 1);
 }
 
-// decode full RGB image; returns false on corrupt data
+// decode full RGB image; returns false on corrupt data.
+// dct_fast selects libjpeg's JDCT_IFAST (the reference's
+// --dct_method=INTEGER_FAST knob); default JDCT_ISLOW == INTEGER_ACCURATE,
+// matching PIL bit-for-bit.
 bool decode_jpeg(const uint8_t* data, size_t size, std::vector<uint8_t>* out,
-                 int* w, int* h) {
+                 int* w, int* h, bool dct_fast = false) {
   jpeg_decompress_struct cinfo;
   JpegErr err;
   cinfo.err = jpeg_std_error(&err.mgr);
@@ -185,6 +188,7 @@ bool decode_jpeg(const uint8_t* data, size_t size, std::vector<uint8_t>* out,
   jpeg_mem_src(&cinfo, data, size);
   jpeg_read_header(&cinfo, TRUE);
   cinfo.out_color_space = JCS_RGB;
+  cinfo.dct_method = dct_fast ? JDCT_IFAST : JDCT_ISLOW;
   jpeg_start_decompress(&cinfo);
   *w = cinfo.output_width; *h = cinfo.output_height;
   out->resize(size_t(*w) * *h * 3);
@@ -262,13 +266,13 @@ void sample_crop(Rng& rng, int w, int h, int* bx, int* by, int* bw, int* bh) {
 }
 
 bool process_one(const uint8_t* payload, size_t payload_size,
-                 int image_size, int resize_min, bool train, uint64_t seed,
-                 uint8_t* out_img, int32_t* out_label) {
+                 int image_size, int resize_min, bool train, bool dct_fast,
+                 uint64_t seed, uint8_t* out_img, int32_t* out_label) {
   Parsed ex = parse_example(payload, payload_size);
   if (!ex.ok) return false;
   std::vector<uint8_t> rgb;
   int w = 0, h = 0;
-  if (!decode_jpeg(ex.jpeg.p, ex.jpeg.n, &rgb, &w, &h)) return false;
+  if (!decode_jpeg(ex.jpeg.p, ex.jpeg.n, &rgb, &w, &h, dct_fast)) return false;
   if (train) {
     Rng rng(seed);
     int bx, by, bw, bh;
@@ -311,7 +315,7 @@ extern "C" {
 // Returns number of successfully decoded records; failures leave zeros and
 // label -1 at their slot.
 int axcnn_decode_batch(const uint8_t** payloads, const int64_t* sizes, int n,
-                       int image_size, int resize_min, int train,
+                       int image_size, int resize_min, int train, int dct_fast,
                        const uint64_t* seeds,
                        uint8_t* out_images, int32_t* out_labels,
                        int num_threads) {
@@ -322,7 +326,7 @@ int axcnn_decode_batch(const uint8_t** payloads, const int64_t* sizes, int n,
       int i = next.fetch_add(1);
       if (i >= n) return;
       bool good = process_one(payloads[i], size_t(sizes[i]), image_size,
-                              resize_min, train != 0, seeds[i],
+                              resize_min, train != 0, dct_fast != 0, seeds[i],
                               out_images + size_t(i) * img_bytes,
                               out_labels + i);
       if (good) ok.fetch_add(1);
@@ -354,6 +358,6 @@ int axcnn_decode_jpeg(const uint8_t* data, int64_t size, uint8_t* out,
   return 0;
 }
 
-int axcnn_version() { return 1; }
+int axcnn_version() { return 2; }
 
 }  // extern "C"

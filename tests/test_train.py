@@ -327,6 +327,20 @@ class TestConfig:
         with pytest.raises(ValueError):
             apply_overrides(Config(), ["--image_size=128", "--bogus.x=1"])
 
+    def test_preprocessing_type(self):
+        from axcnn.utils.config import (Config, apply_overrides,
+                                        resolve_preprocessing)
+
+        cfg = apply_overrides(Config(),
+                              ["--data.preprocessing_type=imagenet_256_288a"])
+        data = resolve_preprocessing(cfg.data)
+        assert (data.image_size, data.resize_min) == (256, 288)
+        # empty string: explicit fields win
+        assert resolve_preprocessing(Config().data).image_size == 224
+        with pytest.raises(ValueError, match="preprocessing_type"):
+            resolve_preprocessing(apply_overrides(
+                Config(), ["--data.preprocessing_type=cifar_32"]).data)
+
     def test_presets_load(self):
         from axcnn.utils.config import load_preset
 
