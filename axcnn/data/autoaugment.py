@@ -12,7 +12,9 @@ public Google reference (``policy_v0`` lineage, tagged [K-med] in SURVEY.md
 Design note: augmentation is host work by design — it operates on uint8
 images pre-batch, overlapped with device compute by the loader's prefetch
 pipeline. This module is the semantics reference; the same policies also
-exist as an on-device XLA graph (autoaugment_device.py).
+exist as an on-device XLA graph (autoaugment_device.py) and in the native
+C++ loader (cpp/autoaugment.cpp — per-op parity-tested against this module,
+LUT ops bit-exact), which is the full-rate training path.
 """
 
 from __future__ import annotations

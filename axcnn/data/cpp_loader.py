@@ -29,7 +29,19 @@ def _build():
                    check=True, capture_output=True)
 
 
-_ABI_VERSION = 2
+_ABI_VERSION = 3
+
+# AutoAugment policy ids (must match AaOp policy selection in
+# cpp/autoaugment.cpp); -1 disables augmentation
+AA_POLICIES = {"none": -1, "": -1, "v0": 0, "imagenet": 1}
+
+# op ids matching cpp/autoaugment.h AaOp (and the order of the Python
+# NAME_TO_OP table) — used by the per-op parity tests
+AA_OPS = {name: i for i, name in enumerate([
+    "ShearX", "ShearY", "TranslateX", "TranslateY", "Rotate",
+    "Color", "Contrast", "Brightness", "Sharpness",
+    "Posterize", "Solarize", "SolarizeAdd", "AutoContrast", "Equalize",
+    "Invert", "Cutout"])}
 
 
 def get_lib():
@@ -65,6 +77,7 @@ def get_lib():
         ctypes.c_int,                      # resize_min
         ctypes.c_int,                      # train
         ctypes.c_int,                      # dct_fast (JDCT_IFAST decode)
+        ctypes.c_int,                      # aa_policy (-1 none, 0 v0, 1 imagenet)
         ctypes.POINTER(ctypes.c_uint64),   # seeds
         ctypes.POINTER(ctypes.c_uint8),    # out_images
         ctypes.POINTER(ctypes.c_int32),    # out_labels
@@ -75,6 +88,10 @@ def get_lib():
         ctypes.c_char_p, ctypes.c_int64,
         ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
         ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
+    lib.axcnn_aa_op.restype = ctypes.c_int
+    lib.axcnn_aa_op.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
     _LIB = lib
     return lib
 
@@ -89,9 +106,10 @@ def available() -> bool:
 
 def decode_batch(payloads: list[bytes], *, image_size: int, resize_min: int,
                  train: bool, seeds, num_threads: int = 8,
-                 dct_fast: bool = False):
+                 dct_fast: bool = False, aa_policy: int = -1):
     """Decode serialized Examples → (images uint8 [n,S,S,3], labels int32 [n],
-    n_ok). Failed records get zeros/label=-1."""
+    n_ok). Failed records get zeros/label=-1. ``aa_policy``: AutoAugment
+    policy id applied on the train path (see AA_POLICIES)."""
     lib = get_lib()
     n = len(payloads)
     images = np.empty((n, image_size, image_size, 3), np.uint8)
@@ -103,11 +121,28 @@ def decode_batch(payloads: list[bytes], *, image_size: int, resize_min: int,
     seed_arr = (ctypes.c_uint64 * n)(*[int(s) & (2**64 - 1) for s in seeds])
     ok = lib.axcnn_decode_batch(
         ptrs, sizes, n, image_size, resize_min, int(train), int(dct_fast),
-        seed_arr,
+        int(aa_policy), seed_arr,
         images.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         num_threads)
     return images, labels, ok
+
+
+def aa_op(img, op: str, mag: int, *, sign: int = 1, cutout_xy=(0, 0)):
+    """Apply one native AutoAugment op to an HWC uint8 array (returns a new
+    array). Test/tool API: the stochastic draws (sign, cutout center) are
+    pinned by the caller so each op can be compared against the PIL
+    reference bit-for-bit."""
+    lib = get_lib()
+    out = np.ascontiguousarray(img, np.uint8).copy()
+    h, w, c = out.shape
+    assert c == 3
+    rc = lib.axcnn_aa_op(
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), w, h,
+        AA_OPS[op], mag, sign, cutout_xy[0], cutout_xy[1])
+    if rc != 0:
+        raise ValueError(f"aa_op failed (rc={rc})")
+    return out
 
 
 def decode_jpeg_native(data: bytes, *, max_side: int = 8192):

@@ -32,7 +32,8 @@ import numpy as np
 from axcnn.data.datasets import DatasetInfo
 from axcnn.data.preprocessing import preprocess_train, preprocess_eval
 from axcnn.data.autoaugment import make_autoaugment
-from axcnn.data.tfrecord import TFRecordReader, parse_example, list_shards
+from axcnn.data.tfrecord import (TFRecordReader, parse_example, list_shards,
+                                 count_records)
 
 LoaderState = collections.namedtuple("LoaderState", ["epoch", "batches_yielded"])
 
@@ -86,25 +87,44 @@ class TFRecordImageLoader:
         self._shuffle_buffer = shuffle_buffer
         self._drop_remainder = drop_remainder
         # native (C++) decode path: Example parse + JPEG decode + crop/resize
-        # in cpp/loader.cpp. AutoAugment is PIL-only for now, so augmented
-        # training falls back to the Python path.
-        self._native = bool(use_native) and self._aa is None
-        if use_native and self._aa is not None:
-            import warnings
-
-            warnings.warn("native loader does not implement AutoAugment yet; "
-                          "using the Python decode path")
-        if self._dct_fast and not self._native:
-            raise ValueError(
-                "dct_method=INTEGER_FAST is only available on the native "
-                "decode path (it maps to libjpeg JDCT_IFAST); this "
-                "configuration fell back to PIL")
+        # + AutoAugment in cpp/loader.cpp + cpp/autoaugment.cpp — the full
+        # train-path preprocessing runs GIL-free in the native thread pool
+        # (the reference's tf.data C++ map equivalent, SURVEY.md §2.9).
+        self._native = bool(use_native)
+        self._aa_policy = -1
         if self._native:
             from axcnn.data import cpp_loader
 
             self._cpp = cpp_loader
             cpp_loader.get_lib()  # build/load eagerly so failures are loud
+            policy_name = autoaugment_type if (train and self._aa) else "none"
+            aa_policy = cpp_loader.AA_POLICIES.get(policy_name)
+            if aa_policy is None:
+                import warnings
+
+                warnings.warn(
+                    f"native loader has no AutoAugment policy "
+                    f"{policy_name!r}; using the Python decode path")
+                self._native = False
+            else:
+                self._aa_policy = aa_policy
+        if self._dct_fast and not self._native:
+            raise ValueError(
+                "dct_method=INTEGER_FAST is only available on the native "
+                "decode path (it maps to libjpeg JDCT_IFAST); this "
+                "configuration fell back to PIL")
         self.state = LoaderState(epoch=0, batches_yielded=0)
+
+    @property
+    def image_size(self) -> int:
+        return self._image_size
+
+    def num_batches(self) -> int:
+        """Batches per epoch for THIS host's shard subset (framing scan, no
+        decode). Multi-host eval uses this to agree on a global batch count —
+        hosts with fewer records pad, so the per-batch psum never deadlocks."""
+        n = sum(count_records(p) for p in self._shards)
+        return n // self._bs if self._drop_remainder else -(-n // self._bs)
 
     # -- deterministic record stream for (seed, epoch) ----------------------
     def _record_stream(self, epoch: int):
@@ -151,7 +171,7 @@ class TFRecordImageLoader:
         imgs, labels, ok = self._cpp.decode_batch(
             payloads, image_size=self._image_size, resize_min=self._resize_min,
             train=self._train, seeds=seeds, num_threads=self._workers,
-            dct_fast=self._dct_fast)
+            dct_fast=self._dct_fast, aa_policy=self._aa_policy)
         if ok != len(items):
             # records the native decoder can't handle (non-JPEG encodings from
             # build_tfrecords' .png/.bmp support, corrupt payloads) come back

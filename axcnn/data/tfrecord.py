@@ -120,6 +120,27 @@ class TFRecordReader:
     def close(self):
         self._f.close()
 
+    def __del__(self):  # abandoned mid-iteration by resuming loaders
+        try:
+            self._f.close()
+        except Exception:
+            pass
+
+
+def count_records(path: str) -> int:
+    """Number of records in a shard, by framing scan (seek past payloads —
+    no payload reads, no parsing). Used for multi-host eval batch-count
+    agreement."""
+    n = 0
+    with open(path, "rb") as f:
+        while True:
+            header = f.read(8)
+            if len(header) < 8:
+                return n
+            (length,) = struct.unpack("<Q", header)
+            f.seek(4 + length + 4, 1)  # header crc + payload + payload crc
+            n += 1
+
 
 # ---------------------------------------------------------------------------
 # minimal tf.train.Example proto codec

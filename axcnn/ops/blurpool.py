@@ -5,12 +5,20 @@ binomial low-pass filter applied depthwise before every stride-2 reduction,
 gated by ``--anti_alias_type {sconv,proj,max,none}`` and
 ``--anti_alias_filter_size`` (default 3).
 
-Implementation: a depthwise ``lax.conv_general_dilated`` with
-``feature_group_count=C`` and the same explicit fixed-padding scheme as our
-convs. The filter is a constant (not a parameter): it is never trained and is
-excluded from weight decay / EMA by construction. XLA lowers depthwise convs
-to VPU-friendly elementwise FMAs; a fused Pallas variant lives in
-``axcnn.pallas.blurpool`` for the perf path.
+Two implementations behind one interface (SURVEY.md §7.1):
+
+- XLA (semantics reference): a depthwise ``lax.conv_general_dilated`` with
+  ``feature_group_count=C`` and the same explicit fixed-padding scheme as
+  our convs.
+- Pallas (``axcnn.pallas.blurpool``): even/odd-phase VPU kernel with a
+  matching hand-derived Pallas backward — bit-identical outputs (the filter
+  is exact in fp32). NOT selected by ``auto`` dispatch: measured on the real
+  chip, the pallas_call boundary breaks XLA's fusion around each BlurPool
+  site and regresses the (HBM-bound) step 80.2→87.9 ms; ``AXCNN_PALLAS=on``
+  forces it (numbers in docs/DESIGN.md).
+
+The filter is a constant (not a parameter): it is never trained and is
+excluded from weight decay / EMA by construction.
 """
 
 from __future__ import annotations
@@ -20,6 +28,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from axcnn.ops.conv import fixed_pad_amounts
+from axcnn.ops.dispatch import use_pallas
 
 
 def blur_kernel(filter_size: int = 3) -> np.ndarray:
@@ -35,6 +44,11 @@ def blur_kernel(filter_size: int = 3) -> np.ndarray:
 
 def blur_pool(x, *, stride: int = 2, filter_size: int = 3):
     """Depthwise blur + stride-``stride`` subsample, NHWC."""
+    if use_pallas("blurpool"):
+        from axcnn.pallas.blurpool import blurpool_supported, blur_pool_pallas_grad
+
+        if blurpool_supported(x, stride=stride, filter_size=filter_size):
+            return blur_pool_pallas_grad(x)
     c = x.shape[-1]
     k = jnp.asarray(blur_kernel(filter_size), x.dtype)
     # depthwise HWIO with feature_group_count=C: (H, W, 1, C)

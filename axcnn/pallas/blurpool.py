@@ -80,3 +80,71 @@ def blur_pool_pallas(x, *, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((n, h // 2, w // 2, c), x.dtype),
         interpret=interpret,
     )(x)
+
+
+# ---------------------------------------------------------------------------
+# backward kernel: dx = Dᵀ g for the linear map D = blur3 ∘ subsample2.
+#
+# Per axis (w = [1,2,1]/4, stride 2, pad (1,1), even extent): input pixel p
+# contributes to output i iff 2i-1+a = p for a tap a∈{0,1,2}, so
+#   even p: only a=1 → dx[2i]   = (2/4)·g[i]
+#   odd  p: a∈{0,2}  → dx[2i+1] = (1/4)·(g[i] + g[i+1]),  g[H/2] ≡ 0
+# — an interleave of two cheap VPU expressions, applied per axis.
+# ---------------------------------------------------------------------------
+
+def _shift_up(a):
+    """b[i] = a[i+1] along axis 0 (zero at the end)."""
+    return jnp.concatenate([a[1:], jnp.zeros_like(a[:1])], axis=0)
+
+
+def _shift_left(a):
+    """b[:, j] = a[:, j+1] along axis 1 (zero at the end)."""
+    return jnp.concatenate([a[:, 1:], jnp.zeros_like(a[:, :1])], axis=1)
+
+
+def _blur3_s2_bwd_kernel(g_ref, o_ref):
+    g = g_ref[0].astype(jnp.float32)  # (H/2, W/2, C)
+    hh, hw, c = g.shape
+    # cols first (mirror of the forward's row-then-col order; D is separable
+    # so the order is irrelevant mathematically)
+    e = 0.5 * g
+    o = 0.25 * (g + _shift_left(g))
+    t = jnp.stack([e, o], axis=2).reshape(hh, 2 * hw, c)  # (H/2, W, C)
+    e2 = 0.5 * t
+    o2 = 0.25 * (t + _shift_up(t))
+    dx = jnp.stack([e2, o2], axis=1).reshape(2 * hh, 2 * hw, c)
+    o_ref[0] = dx.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def blur_pool_pallas_bwd(g, *, interpret: bool = False):
+    """Transpose of blur_pool_pallas: cotangent (N,H/2,W/2,C) → (N,H,W,C)."""
+    n, hh, hw, c = g.shape
+    return pl.pallas_call(
+        _blur3_s2_bwd_kernel,
+        grid=(n,),
+        in_specs=[pl.BlockSpec((1, hh, hw, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 2 * hh, 2 * hw, c), lambda i: (i, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 2 * hh, 2 * hw, c), g.dtype),
+        interpret=interpret,
+    )(g)
+
+
+@jax.custom_vjp
+def blur_pool_pallas_grad(x):
+    """blur_pool_pallas with a Pallas backward (both directions stay off the
+    XLA depthwise-conv lowering). Used by the ops-level dispatch."""
+    return blur_pool_pallas(x)
+
+
+def _bp_fwd(x):
+    return blur_pool_pallas(x), None
+
+
+def _bp_bwd(_, g):
+    return (blur_pool_pallas_bwd(g),)
+
+
+blur_pool_pallas_grad.defvjp(_bp_fwd, _bp_bwd)

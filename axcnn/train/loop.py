@@ -128,14 +128,58 @@ def _warm_start(state: TrainState, cfg: Config) -> TrainState:
                           if state.ema is not None else None)
 
 
+def _eval_batches(eval_loader, batch_size):
+    """Padded eval batch stream.
+
+    Multi-host: the per-batch psum in shard_eval_step is a collective — every
+    host must call it the SAME number of times, but hosts own disjoint shard
+    subsets with (in general) different record counts. Hosts agree on the
+    global max batch count up front (allgather of a framing-scan count) and
+    hosts with fewer batches append all-padding batches (labels -1 → zero
+    contribution to every metric), so uneven shards can never deadlock the
+    mesh."""
+    extra = 0
+    local = None
+    image_size = getattr(eval_loader, "image_size", None)
+    if jax.process_count() > 1 and hasattr(eval_loader, "num_batches"):
+        from jax.experimental import multihost_utils
+
+        local = eval_loader.num_batches()
+        counts = multihost_utils.process_allgather(np.int32(local))
+        extra = int(np.max(counts)) - int(local)
+
+    n = 0
+    last = None
+    for b in iter(eval_loader):
+        last = b
+        n += 1
+        yield pad_batch(b, batch_size)
+    if local is not None and n != local:
+        # a mismatch would desynchronize the per-batch collective across
+        # hosts — fail here, loudly, instead of hanging the mesh
+        raise RuntimeError(
+            f"eval loader yielded {n} batches but num_batches() promised "
+            f"{local}")
+    if extra:
+        if last is not None:
+            shape = last["images"].shape[1:]
+            dtype = last["images"].dtype
+        else:  # this host had zero batches; shape comes from the loader
+            shape = (image_size, image_size, 3)
+            dtype = np.uint8
+        empty = {"images": np.zeros((batch_size,) + tuple(shape), dtype),
+                 "labels": -np.ones((batch_size,), np.int32)}
+        for _ in range(extra):
+            yield empty
+
+
 def evaluate(eval_step_fn, state, eval_loader, *, batch_size, mesh=None,
              prefetch=2):
     """Full eval pass; returns {'top1': %, 'top5': %, 'loss': mean, 'count': N}."""
     totals = {}
-    it = iter(eval_loader)
     sharding = batch_sharding(mesh) if mesh is not None else None
     for batch in device_prefetch(
-            (pad_batch(b, batch_size) for b in it), size=prefetch,
+            _eval_batches(eval_loader, batch_size), size=prefetch,
             sharding=sharding):
         m = jax.device_get(eval_step_fn(state, batch))
         for k, v in m.items():

@@ -31,6 +31,8 @@
 
 #include <jpeglib.h>
 
+#include "autoaugment.h"
+
 namespace {
 
 // ---------------------------------------------------------------------------
@@ -201,6 +203,58 @@ bool decode_jpeg(const uint8_t* data, size_t size, std::vector<uint8_t>* out,
   return true;
 }
 
+// Crop-during-decode via libjpeg-turbo's jpeg_crop_scanline /
+// jpeg_skip_scanlines — the native equivalent of tf.data's
+// decode_and_crop_jpeg (the reference's train-path fast decode). Decodes
+// ONLY the iMCU rows/columns covering the crop box: pixel-IDENTICAL to a
+// full decode + crop (IDCT is per 8x8 block), but skipped rows pay only
+// Huffman parsing, not IDCT/color conversion.
+//
+// `geom` receives the image dims (known after the header parse, before any
+// pixel work) and returns the desired box — one decompress object, one
+// header parse. On success: *out holds (out_w x out_h) RGB where the
+// returned box starts at column (*bx - *x0) and row 0.
+template <typename GeomFn>
+bool decode_jpeg_cropped(const uint8_t* data, size_t size, bool dct_fast,
+                         GeomFn&& geom,
+                         std::vector<uint8_t>* out, int* out_w, int* out_h,
+                         int* bx, int* by, int* bw, int* bh, int* x0,
+                         int* img_w, int* img_h) {
+  jpeg_decompress_struct cinfo;
+  JpegErr err;
+  cinfo.err = jpeg_std_error(&err.mgr);
+  err.mgr.error_exit = jpeg_err_exit;
+  if (setjmp(err.jb)) { jpeg_destroy_decompress(&cinfo); return false; }
+  jpeg_create_decompress(&cinfo);
+  jpeg_mem_src(&cinfo, data, size);
+  jpeg_read_header(&cinfo, TRUE);
+  cinfo.out_color_space = JCS_RGB;
+  cinfo.dct_method = dct_fast ? JDCT_IFAST : JDCT_ISLOW;
+  const int w = int(cinfo.image_width), h = int(cinfo.image_height);
+  if (w <= 0 || h <= 0) { jpeg_destroy_decompress(&cinfo); return false; }
+  *img_w = w; *img_h = h;
+  geom(w, h, bx, by, bw, bh);
+  *bx = std::clamp(*bx, 0, w - 1); *by = std::clamp(*by, 0, h - 1);
+  *bw = std::clamp(*bw, 1, w - *bx); *bh = std::clamp(*bh, 1, h - *by);
+
+  // full-frame request → plain decode (crop bookkeeping is pure overhead)
+  const bool whole = *bx == 0 && *by == 0 && *bw == w && *bh == h;
+  jpeg_start_decompress(&cinfo);
+  JDIMENSION xoff = JDIMENSION(*bx), xw = JDIMENSION(*bw);
+  if (!whole) jpeg_crop_scanline(&cinfo, &xoff, &xw);  // aligns to iMCU grid
+  if (*by > 0) jpeg_skip_scanlines(&cinfo, JDIMENSION(*by));
+  *out_w = int(xw); *out_h = *bh; *x0 = int(xoff);
+  out->resize(size_t(xw) * *bh * 3);
+  while (int(cinfo.output_scanline) < *by + *bh) {
+    uint8_t* row = out->data() + size_t(int(cinfo.output_scanline) - *by) * xw * 3;
+    jpeg_read_scanlines(&cinfo, &row, 1);
+  }
+  // remaining rows are never needed: abort instead of skip+finish
+  jpeg_abort_decompress(&cinfo);
+  jpeg_destroy_decompress(&cinfo);
+  return true;
+}
+
 // ---------------------------------------------------------------------------
 // bilinear resize from a source crop box to (ow, oh), optional h-flip
 // (PIL-style half-pixel sampling)
@@ -265,37 +319,63 @@ void sample_crop(Rng& rng, int w, int h, int* bx, int* by, int* bw, int* bh) {
   *bx = (w - cw) / 2; *by = (h - ch) / 2; *bw = cw; *bh = ch;
 }
 
+// adapter: the loader's per-record xoshiro stream drives AutoAugment's draws
+struct RngAdapter final : axcnn::AaRngIface {
+  Rng& r;
+  explicit RngAdapter(Rng& rr) : r(rr) {}
+  double uniform() override { return r.uniform(); }
+  uint64_t below(uint64_t n) override { return r.below(n); }
+};
+
 bool process_one(const uint8_t* payload, size_t payload_size,
                  int image_size, int resize_min, bool train, bool dct_fast,
-                 uint64_t seed, uint8_t* out_img, int32_t* out_label) {
+                 int aa_policy, uint64_t seed,
+                 uint8_t* out_img, int32_t* out_label) {
   Parsed ex = parse_example(payload, payload_size);
   if (!ex.ok) return false;
+
+  // crop geometry is computed from the header dims (inside the single
+  // decompress pass), and the decode is restricted to the crop box plus 1px
+  // of context — so the bilinear taps that straddle the box edge see the
+  // same pixels as a full decode; bit-identical to full-decode + crop
+  Rng rng(seed);
+  int bx = 0, by = 0, bw = 0, bh = 0;  // the actual (unexpanded) crop box
+  auto geom = [&](int w, int h, int* ebx, int* eby, int* ebw, int* ebh) {
+    if (train) {
+      sample_crop(rng, w, h, &bx, &by, &bw, &bh);
+    } else {
+      double scale = double(resize_min) / std::min(w, h);
+      int nw = int(std::lround(w * scale)), nh = int(std::lround(h * scale));
+      // resize-then-centercrop == resize from the back-projected center box
+      double inv = 1.0 / scale;
+      double left = ((nw - image_size) / 2) * inv;
+      double top = ((nh - image_size) / 2) * inv;
+      bw = int(std::lround(image_size * inv));
+      bh = bw;
+      bx = int(std::lround(left));
+      by = int(std::lround(top));
+      bx = std::clamp(bx, 0, std::max(w - bw, 0));
+      by = std::clamp(by, 0, std::max(h - bh, 0));
+      bw = std::min(bw, w); bh = std::min(bh, h);
+    }
+    *ebx = std::max(bx - 1, 0);
+    *eby = std::max(by - 1, 0);
+    *ebw = std::min(bx + bw + 1, w) - *ebx;
+    *ebh = std::min(by + bh + 1, h) - *eby;
+  };
   std::vector<uint8_t> rgb;
-  int w = 0, h = 0;
-  if (!decode_jpeg(ex.jpeg.p, ex.jpeg.n, &rgb, &w, &h, dct_fast)) return false;
-  if (train) {
-    Rng rng(seed);
-    int bx, by, bw, bh;
-    sample_crop(rng, w, h, &bx, &by, &bw, &bh);
-    bool flip = rng.uniform() < 0.5;
-    resize_bilinear_box(rgb.data(), w, h, bx, by, bw, bh,
-                        out_img, image_size, image_size, flip);
-  } else {
-    double scale = double(resize_min) / std::min(w, h);
-    int nw = int(std::lround(w * scale)), nh = int(std::lround(h * scale));
-    // resize-then-centercrop == resize from the back-projected center box
-    double inv = 1.0 / scale;
-    double left = ((nw - image_size) / 2) * inv;
-    double top = ((nh - image_size) / 2) * inv;
-    // use a full-precision source box of image_size/scale
-    int bw = int(std::lround(image_size * inv));
-    int bh = bw;
-    int bx = int(std::lround(left)), by = int(std::lround(top));
-    bx = std::clamp(bx, 0, std::max(w - bw, 0));
-    by = std::clamp(by, 0, std::max(h - bh, 0));
-    bw = std::min(bw, w); bh = std::min(bh, h);
-    resize_bilinear_box(rgb.data(), w, h, bx, by, bw, bh,
-                        out_img, image_size, image_size, false);
+  int cw = 0, ch = 0, x0 = 0, ebx = 0, eby = 0, ebw = 0, ebh = 0, w = 0, h = 0;
+  if (!decode_jpeg_cropped(ex.jpeg.p, ex.jpeg.n, dct_fast, geom, &rgb,
+                           &cw, &ch, &ebx, &eby, &ebw, &ebh, &x0, &w, &h)) {
+    return false;
+  }
+  bool flip = train && rng.uniform() < 0.5;
+  resize_bilinear_box(rgb.data(), cw, ch, bx - x0, by - eby, bw, bh,
+                      out_img, image_size, image_size, flip);
+  if (train && aa_policy >= 0) {
+    // same order as the Python path: crop → flip → AutoAugment
+    RngAdapter adapter(rng);
+    axcnn::aa_apply_policy(out_img, image_size, image_size, aa_policy, adapter);
   }
   *out_label = int32_t(ex.label);
   return true;
@@ -307,6 +387,8 @@ extern "C" {
 
 // Decode a batch of serialized Examples in parallel.
 //   payloads/sizes : n record payloads
+//   aa_policy      : AutoAugment policy applied after crop/flip on the train
+//                    path (-1 = none, 0 = v0, 1 = imagenet)
 //   seeds          : n per-record RNG seeds (caller derives from
 //                    (seed, epoch, record_idx) — keeps Python in charge of
 //                    determinism/checkpointing)
@@ -316,7 +398,7 @@ extern "C" {
 // label -1 at their slot.
 int axcnn_decode_batch(const uint8_t** payloads, const int64_t* sizes, int n,
                        int image_size, int resize_min, int train, int dct_fast,
-                       const uint64_t* seeds,
+                       int aa_policy, const uint64_t* seeds,
                        uint8_t* out_images, int32_t* out_labels,
                        int num_threads) {
   std::atomic<int> next(0), ok(0);
@@ -326,7 +408,8 @@ int axcnn_decode_batch(const uint8_t** payloads, const int64_t* sizes, int n,
       int i = next.fetch_add(1);
       if (i >= n) return;
       bool good = process_one(payloads[i], size_t(sizes[i]), image_size,
-                              resize_min, train != 0, dct_fast != 0, seeds[i],
+                              resize_min, train != 0, dct_fast != 0,
+                              aa_policy, seeds[i],
                               out_images + size_t(i) * img_bytes,
                               out_labels + i);
       if (good) ok.fetch_add(1);
@@ -358,6 +441,16 @@ int axcnn_decode_jpeg(const uint8_t* data, int64_t size, uint8_t* out,
   return 0;
 }
 
-int axcnn_version() { return 2; }
+// Apply one AutoAugment op in place on an RGB HWC uint8 image (test/tool
+// API — lets Python compare each C++ op against the PIL reference
+// implementation directly, with the stochastic draws pinned).
+int axcnn_aa_op(uint8_t* img, int w, int h, int op, int mag, int sign,
+                int cutout_x, int cutout_y) {
+  if (op < 0 || op >= axcnn::kAaOpCount || w <= 0 || h <= 0) return 1;
+  axcnn::aa_apply_op(img, w, h, op, mag, sign, cutout_x, cutout_y);
+  return 0;
+}
+
+int axcnn_version() { return 3; }
 
 }  // extern "C"

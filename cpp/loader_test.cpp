@@ -15,7 +15,8 @@
 
 extern "C" int axcnn_decode_batch(const uint8_t** payloads, const int64_t* sizes,
                                   int n, int image_size, int resize_min,
-                                  int train, int dct_fast, const uint64_t* seeds,
+                                  int train, int dct_fast, int aa_policy,
+                                  const uint64_t* seeds,
                                   uint8_t* out_images, int32_t* out_labels,
                                   int num_threads);
 
@@ -61,10 +62,14 @@ int main(int argc, char** argv) {
   std::vector<int32_t> lab1(n), lab2(n);
 
   for (int train = 0; train <= 1; train++) {
+    // train pass also exercises AutoAugment (policy v0) under the sanitizer
+    int aa = train ? 0 : -1;
     int ok1 = axcnn_decode_batch(ptrs.data(), sizes.data(), n, S, 72, train, 0,
-                                 seeds.data(), img1.data(), lab1.data(), threads);
+                                 aa, seeds.data(), img1.data(), lab1.data(),
+                                 threads);
     int ok2 = axcnn_decode_batch(ptrs.data(), sizes.data(), n, S, 72, train, 0,
-                                 seeds.data(), img2.data(), lab2.data(), threads);
+                                 aa, seeds.data(), img2.data(), lab2.data(),
+                                 threads);
     if (ok1 != n || ok2 != n) {
       std::fprintf(stderr, "decode failures: %d/%d, %d/%d (train=%d)\n",
                    ok1, n, ok2, n, train);

@@ -54,6 +54,75 @@ class TestBlurPoolPallas:
         assert not blurpool_supported(jnp.zeros((2, 56, 56, 128)), filter_size=5)
         assert not blurpool_supported(jnp.zeros((2, 512, 512, 512)))  # VMEM
 
+    @pytest.mark.parametrize("shape", [(2, 8, 8, 128), (1, 28, 28, 128),
+                                        (3, 14, 16, 256)])
+    def test_backward_matches_xla_vjp(self, shape):
+        """The hand-derived transpose kernel == the VJP of the XLA op."""
+        from axcnn.pallas.blurpool import blur_pool_pallas_bwd
+
+        x = jax.random.normal(jax.random.key(2), shape, jnp.float32)
+        n, h, w, c = shape
+        g = jax.random.normal(jax.random.key(3), (n, h // 2, w // 2, c),
+                              jnp.float32)
+        _, vjp = jax.vjp(lambda t: blur_pool(t, stride=2, filter_size=3), x)
+        want = vjp(g)[0]
+        got = blur_pool_pallas_bwd(g, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5, rtol=1e-5)
+
+    def test_custom_vjp_wires_pallas_bwd(self):
+        from axcnn.pallas.blurpool import blur_pool_pallas_grad
+
+        x = jax.random.normal(jax.random.key(4), (2, 8, 8, 128), jnp.float32)
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.grad(lambda t: jnp.sum(blur_pool_pallas_grad(t) ** 2))(x)
+        want = jax.grad(lambda t: jnp.sum(
+            blur_pool(t, stride=2, filter_size=3) ** 2))(x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-4, rtol=1e-4)
+
+
+class TestDispatch:
+    def test_modes(self):
+        from axcnn.ops import dispatch
+
+        old = dispatch.pallas_mode()
+        try:
+            dispatch.set_pallas_mode("off")
+            assert not dispatch.use_pallas()
+            dispatch.set_pallas_mode("on")
+            assert dispatch.use_pallas()
+            dispatch.set_pallas_mode("auto")
+            # tests run on CPU → auto means XLA
+            assert not dispatch.use_pallas()
+            with pytest.raises(ValueError):
+                dispatch.set_pallas_mode("sometimes")
+        finally:
+            dispatch.set_pallas_mode(old)
+
+    def test_ops_dispatch_to_pallas_when_on(self):
+        """With mode=on + interpret mode, ops.blur_pool/dropblock must route
+        through the Pallas kernels (proves the model's train path uses them
+        on TPU, where this branch is taken with real compilation)."""
+        from axcnn.ops import dispatch
+        from axcnn.ops.dropblock import dropblock
+
+        x = jax.random.normal(jax.random.key(5), (2, 16, 16, 128), jnp.float32)
+        old = dispatch.pallas_mode()
+        try:
+            dispatch.set_pallas_mode("on")
+            with pltpu.force_tpu_interpret_mode():
+                got = blur_pool(x, stride=2, filter_size=3)
+                db = dropblock(jax.random.key(0), x, keep_prob=0.9,
+                               block_size=7, train=True)
+            dispatch.set_pallas_mode("off")
+            want = blur_pool(x, stride=2, filter_size=3)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                       atol=1e-5, rtol=1e-5)
+            assert db.shape == x.shape and np.isfinite(np.asarray(db)).all()
+        finally:
+            dispatch.set_pallas_mode(old)
+
 
 class TestDropBlockPallas:
     def test_mask_properties(self):
