@@ -1,59 +1,96 @@
-"""Benchmark: Assemble-ResNet-50 training throughput, images/sec/chip.
+"""Benchmark: Assemble-ResNet-50 throughput on the real chip.
 
 Prints ONE JSON line:
-    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+    {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N,
+     "details": {...}}
 
-Protocol: full training step (bf16 compute, mixup + label smoothing + EMA +
-momentum/WD; the BASELINE config-4 recipe) on synthetic data, single chip,
-224x224, donated state. Warmup 3 steps, then timed steps.
+Four measurements (BASELINE.json's metric is "train + infer"; VERDICT r1
+asked for MFU and a real-pipeline number instead of leaning on an assumed
+baseline):
 
-Baseline: the reference (TF1, 8xV100) publishes no per-chip training
-throughput for Assemble-ResNet-50; SURVEY.md §6 reconstructs ~O(300) img/s
-*inference* on 1xV100 [K-lo]. We use 170 img/s/GPU as the assumed TF1-GPU
-*training* throughput for the assembled model (vanilla R50 trains ~360-400
-img/s on V100; the assembled model is ~2x heavier). BASELINE.json's target is
->=2x that per chip → vs_baseline >= 2.0 is the goal.
+- train_ips        : full config-4 train step (bf16, mixup+LS+EMA+DropBlock),
+                     synthetic resident batch — pure compute path.
+- infer_ips        : eval forward, same model, batch 128.
+- mfu / hbm_gbps   : from XLA's own cost model (compiled.cost_analysis():
+                     FLOPs and bytes accessed) against the chip's ~197
+                     TFLOP/s bf16 / 819 GB/s HBM specs. The step is
+                     HBM-bandwidth-bound (docs/DESIGN.md roofline table), so
+                     hbm_utilization is the honest "speed-of-light" figure.
+- loader_fed_train_ips : steady-state train fed by the NATIVE loader
+                     (crop-during-decode + C++ AutoAugment v0) over a
+                     generated JPEG shard set — the full-pipeline number.
+                     On this 1-CPU-core box the loader is the bound; the
+                     per-core loader rate is reported alongside.
+
+vs_baseline keeps the round-1 denominator (170 img/s: assumed TF1-V100
+Assemble-R50 *training* rate, [K-lo] — the reference publishes no such
+number) so the series stays comparable across rounds; treat mfu/hbm
+utilization as the absolute truth.
 """
 
+import io
 import json
+import os
 import time
 
 import numpy as np
 
-BASELINE_TRAIN_IPS = 170.0  # assumed TF1 V100 Assemble-R50 train img/s [K-lo]
 BATCH = 128
 IMAGE = 224
 WARMUP = 3
 TIMED = 20
+BASELINE_TRAIN_IPS = 170.0  # assumed TF1 V100 train rate, [K-lo] — see above
+PEAK_TFLOPS_BF16 = 197.0    # v5e-class chip spec
+PEAK_HBM_GBPS = 819.0
+
+BENCH_DATA = "/tmp/axcnn_bench_data"
+N_BENCH_IMAGES = 2048
 
 
-def main():
-    import jax
-
-    from axcnn.core.dtypes import BF16_POLICY
+def _model_cfg():
     from axcnn.models.resnet import ModelConfig
-    from axcnn.train.schedules import make_lr_schedule
-    from axcnn.train.train_step import create_train_state, make_train_step
 
-    cfg = ModelConfig(
+    return ModelConfig(
         resnet_size=50, num_classes=1000,
         use_resnet_d=True, use_se_block=True, use_sk_block=True,
         anti_alias_type="sconv", use_dropblock=True, zero_gamma=True)
 
-    total_steps = 1000
-    train_step = make_train_step(
-        cfg,
-        lr_schedule=make_lr_schedule(base_lr=0.4, total_steps=total_steps,
-                                     warmup_steps=100),
-        total_steps=total_steps,
-        policy=BF16_POLICY,
-        label_smoothing=0.1,
-        mixup_alpha=0.2,
-        weight_decay=1e-4,
-        use_ema=True,
-    )
-    step_fn = jax.jit(train_step, donate_argnums=(0,))
 
+def _make_train_step(cfg):
+    from axcnn.core.dtypes import BF16_POLICY
+    from axcnn.train.schedules import make_lr_schedule
+    from axcnn.train.train_step import make_train_step
+
+    return make_train_step(
+        cfg,
+        lr_schedule=make_lr_schedule(base_lr=0.4, total_steps=1000,
+                                     warmup_steps=100),
+        total_steps=1000, policy=BF16_POLICY, label_smoothing=0.1,
+        mixup_alpha=0.2, weight_decay=1e-4, use_ema=True)
+
+
+def _timed_steps(step_fn, state, batches, key, timed):
+    """Chained steps ending in a scalar fetch (block_until_ready does not
+    reliably wait through the axon tunnel)."""
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(timed):
+        state, metrics = step_fn(state, next(batches), key)
+        n += BATCH
+    loss = float(metrics["loss"])
+    dt = time.perf_counter() - t0
+    assert np.isfinite(loss)
+    return n / dt, state
+
+
+def bench_compute():
+    import jax
+
+    from axcnn.core.dtypes import BF16_POLICY
+    from axcnn.train.train_step import create_train_state, make_eval_step
+
+    cfg = _model_cfg()
+    step_fn = jax.jit(_make_train_step(cfg), donate_argnums=(0,))
     state = create_train_state(jax.random.key(0), cfg, use_ema=True)
     rng = np.random.default_rng(0)
     batch = {
@@ -64,26 +101,132 @@ def main():
     }
     key = jax.random.key(1)
 
+    # XLA's own cost model for MFU / bandwidth accounting
+    compiled = jax.jit(_make_train_step(cfg), donate_argnums=(0,)).lower(
+        state, batch, key).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, list):
+        ca = ca[0]
+    flops = float(ca.get("flops", float("nan")))
+    bytes_acc = float(ca.get("bytes accessed", float("nan")))
+
     for _ in range(WARMUP):
         state, metrics = step_fn(state, batch, key)
-    # NOTE: jax.block_until_ready does not reliably wait through the axon
-    # tunnel; fetching a scalar that depends on the final state of the
-    # dependent step chain forces real completion of every step.
     float(metrics["loss"])
+    resident = iter(lambda: batch, None)
+    train_ips, state = _timed_steps(step_fn, state, resident, key, TIMED)
+    step_s = BATCH / train_ips
 
+    # inference (the metric says train + infer)
+    eval_fn = jax.jit(make_eval_step(cfg, policy=BF16_POLICY))
+    for _ in range(WARMUP):
+        m = eval_fn(state, batch)
+    float(m["loss_sum"])
     t0 = time.perf_counter()
     for _ in range(TIMED):
-        state, metrics = step_fn(state, batch, key)
-    final_loss = float(metrics["loss"])  # forces the whole chain
-    dt = time.perf_counter() - t0
-    assert np.isfinite(final_loss)
+        m = eval_fn(state, batch)
+    float(m["loss_sum"])
+    infer_ips = BATCH * TIMED / (time.perf_counter() - t0)
 
-    ips = BATCH * TIMED / dt
+    return {
+        "train_ips": round(train_ips, 1),
+        "infer_ips": round(infer_ips, 1),
+        "step_ms": round(step_s * 1e3, 2),
+        "train_gflop_per_step": round(flops / 1e9, 1),
+        "train_gb_per_step": round(bytes_acc / 1e9, 2),
+        "tflops": round(flops / step_s / 1e12, 1),
+        "mfu": round(flops / step_s / 1e12 / PEAK_TFLOPS_BF16, 3),
+        "hbm_gbps": round(bytes_acc / step_s / 1e9, 0),
+        "hbm_utilization": round(bytes_acc / step_s / 1e9 / PEAK_HBM_GBPS, 3),
+    }
+
+
+def _ensure_bench_data():
+    """2048 synthetic JPEGs (realistic 320x260 q90) -> 4 TFRecord shards."""
+    from PIL import Image
+
+    from axcnn.data.tfrecord import TFRecordWriter, make_example
+
+    marker = os.path.join(BENCH_DATA, f"ok-{N_BENCH_IMAGES}")
+    if os.path.exists(marker):
+        return
+    os.makedirs(BENCH_DATA, exist_ok=True)
+    rng = np.random.default_rng(0)
+    per_shard = N_BENCH_IMAGES // 4
+    for s in range(4):
+        path = os.path.join(BENCH_DATA, f"train-{s:05d}-of-00004")
+        with TFRecordWriter(path) as w:
+            for i in range(per_shard):
+                base = rng.integers(0, 256, (13, 16, 3)).astype(np.uint8)
+                img = Image.fromarray(base).resize((320, 260), Image.BILINEAR)
+                buf = io.BytesIO()
+                img.save(buf, "JPEG", quality=90)
+                w.write(make_example({
+                    "image/encoded": [buf.getvalue()],
+                    "image/class/label": [int(rng.integers(0, 1000))],
+                }))
+    open(marker, "w").close()
+
+
+def bench_loader_fed():
+    """Steady-state train fed by the native loader (decode+AA) end to end."""
+    import jax
+
+    from axcnn.data.datasets import DatasetInfo
+    from axcnn.data.pipeline import TFRecordImageLoader, device_prefetch
+    from axcnn.train.train_step import create_train_state
+
+    _ensure_bench_data()
+    info = DatasetInfo("bench", 1000, N_BENCH_IMAGES, N_BENCH_IMAGES,
+                       train_prefix="train", eval_prefix="train")
+    loader = TFRecordImageLoader(
+        BENCH_DATA, info, batch_size=BATCH, train=True, image_size=IMAGE,
+        autoaugment_type="v0", seed=1, num_workers=os.cpu_count() or 8,
+        use_native=True)
+
+    # loader-only rate (this box has few cores; report per-core too)
+    it = iter(loader)
+    next(it)
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(6):
+        n += next(it)["labels"].shape[0]
+    loader_ips = n / (time.perf_counter() - t0)
+
+    cfg = _model_cfg()
+    step_fn = jax.jit(_make_train_step(cfg), donate_argnums=(0,))
+    state = create_train_state(jax.random.key(0), cfg, use_ema=True)
+    key = jax.random.key(1)
+    batches = device_prefetch(iter(loader), size=4)
+    for _ in range(WARMUP):
+        state, metrics = step_fn(state, next(batches), key)
+    float(metrics["loss"])
+    fed_ips, _ = _timed_steps(step_fn, state, batches, key, 12)
+    cores = os.cpu_count() or 1
+    return {
+        "loader_fed_train_ips": round(fed_ips, 1),
+        "loader_ips": round(loader_ips, 1),
+        "loader_ips_per_core": round(loader_ips / cores, 1),
+        "host_cores": cores,
+    }
+
+
+def main():
+    details = bench_compute()
+    try:
+        details.update(bench_loader_fed())
+    except Exception as exc:  # loader-fed is best-effort (needs g++/libjpeg)
+        details["loader_fed_error"] = f"{type(exc).__name__}: {exc}"
+    details["baseline_note"] = (
+        "vs_baseline uses 170 img/s assumed TF1-V100 Assemble-R50 TRAIN rate "
+        "[K-lo]; mfu/hbm_utilization are measured absolutes (chip specs "
+        f"{PEAK_TFLOPS_BF16} TFLOP/s bf16, {PEAK_HBM_GBPS} GB/s HBM)")
     print(json.dumps({
         "metric": "assemble_resnet50_train_images_per_sec_per_chip",
-        "value": round(ips, 2),
+        "value": details["train_ips"],
         "unit": "images/sec/chip",
-        "vs_baseline": round(ips / BASELINE_TRAIN_IPS, 3),
+        "vs_baseline": round(details["train_ips"] / BASELINE_TRAIN_IPS, 3),
+        "details": details,
     }))
 
 
