@@ -185,8 +185,15 @@ def make_train_step(
             "train_top1": jnp.mean(
                 (jnp.argmax(logits, -1) == batch["labels"]).astype(jnp.float32)),
         }
+        if mixup_alpha > 0:
+            # observability + semantics pin: with the default (reference)
+            # global-lambda mixup this equals the single shared draw on every
+            # shard; with mixup_per_shard it is the shard mean
+            metrics["mixup_lam"] = jnp.asarray(lam, jnp.float32)
         if axis_name is not None:
             metrics["train_top1"] = jax.lax.pmean(metrics["train_top1"], axis_name)
+            if "mixup_lam" in metrics:
+                metrics["mixup_lam"] = jax.lax.pmean(metrics["mixup_lam"], axis_name)
 
         new_state = TrainState(
             step=step + 1,

