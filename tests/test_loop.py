@@ -54,6 +54,44 @@ class TestRunLoop:
         m = run(cfg)
         assert set(m) >= {"top1", "top5", "loss", "count"}
 
+    def test_run_on_mesh(self, tmp_path):
+        """run() end to end over the 8-device mesh: shard_map train + psum
+        eval through the same loop code the CLI uses."""
+        import dataclasses as dc
+
+        from axcnn.train.loop import run
+
+        cfg = _tiny_cfg(tmp_path, batch_size=8)
+        cfg = dc.replace(cfg, runtime=dc.replace(cfg.runtime, num_devices=8))
+        m = run(cfg)
+        assert m["count"] > 0 and np.isfinite(m["loss"])
+
+    def test_predict_cli(self, tmp_path):
+        """predict CLI end to end (random-init warning path): JPEG in,
+        one JSON line with a 5-entry top-5 out."""
+        import io as _io
+        import json
+        from contextlib import redirect_stdout
+
+        from PIL import Image
+
+        from axcnn.cli.predict import main as predict_main
+
+        img = tmp_path / "in.jpg"
+        Image.fromarray(
+            np.random.default_rng(0).integers(0, 256, (48, 64, 3),
+                                              dtype=np.uint8)).save(img, "JPEG")
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            rc = predict_main([f"--image={img}", "--data.image_size=32",
+                               "--train.dtype=fp32",
+                               f"--runtime.model_dir={tmp_path / 'norun'}"])
+        assert rc == 0
+        out = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert out["image"] == str(img) and len(out["top5"]) == 5
+        probs = [p for _, p in out["top5"]]
+        assert all(0.0 <= p <= 1.0 for p in probs)
+
     def test_warm_start_excludes_head(self, tmp_path):
         from axcnn.train.loop import run, _warm_start
         from axcnn.train.train_step import create_train_state
