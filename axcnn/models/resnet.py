@@ -68,6 +68,24 @@ class ModelConfig:
     bl_alpha: int = 0  # Big-Little: 0 disables
     bl_beta: int = 0
     width_multiplier: float = 1.0
+    # Rematerialization of the training backward pass. Semantically exact:
+    # the recompute replays the identical ops (gradients are bit-equal when
+    # evaluated eagerly; under jit the restructured graph may reassociate
+    # fp32 reductions — the same class of drift as any XLA graph change).
+    #   'none'   : plain autodiff residuals — the measured default. XLA's own
+    #              residual selection is already tighter than either hand
+    #              policy below (full table in docs/DESIGN.md).
+    #   'conv'   : per-block jax.checkpoint saving ONLY the tagged bf16 conv
+    #              outputs + BN statistics; BN-affine/ReLU/SE/SK-attention
+    #              chains are recomputed in backward. MEASURED NEGATIVE on
+    #              the chip (b128: 80.4->88.6 ms, bytes 67->77 GB — the
+    #              recompute re-reads outweigh the saved residuals and the
+    #              checkpoint barriers break cross-block fusion); kept as the
+    #              reproducible experiment, not a recommendation.
+    #   'blocks' : full per-block remat — the CAPACITY lever: temp arena
+    #              5.63->1.71 GB (b128) for +26% step time. Use for
+    #              R152+KD / large-batch configs that otherwise exceed HBM.
+    remat: str = "none"
 
     def __post_init__(self):
         if self.resnet_size not in RESNET_BLOCKS:
@@ -76,6 +94,8 @@ class ModelConfig:
             raise ValueError(f"bad anti_alias_type {self.anti_alias_type!r}")
         if (self.bl_alpha > 0) != (self.bl_beta > 0):
             raise ValueError("bl_alpha and bl_beta must be set together")
+        if self.remat not in ("none", "conv", "blocks"):
+            raise ValueError(f"remat must be none|conv|blocks, got {self.remat!r}")
 
     @property
     def use_bl(self) -> bool:
@@ -195,19 +215,25 @@ def _bl_stage_apply(params, state, x, cfg: ModelConfig, *, train, policy,
     new_state = {"big": {}, "little": {}}
     cd = policy.compute_dtype
 
+    def _blk(p, st, h, stride):
+        fn = _remat_wrap(
+            lambda pp, ss_, hh: _block_apply(
+                pp, ss_, hh, cfg, stride=stride, train=train, policy=policy,
+                axis_name=axis_name),
+            cfg, train)
+        return fn(p, st, h)
+
     big = x
     for b in range(len(params["big"])):
-        big, new_state["big"][f"block{b}"] = _block_apply(
-            params["big"][f"block{b}"], state["big"][f"block{b}"], big, cfg,
-            stride=2 if b == 0 else 1, train=train, policy=policy,
-            axis_name=axis_name)
+        big, new_state["big"][f"block{b}"] = _blk(
+            params["big"][f"block{b}"], state["big"][f"block{b}"], big,
+            2 if b == 0 else 1)
 
     little = x
     for b in range(len(params["little"])):
-        little, new_state["little"][f"block{b}"] = _block_apply(
+        little, new_state["little"][f"block{b}"] = _blk(
             params["little"][f"block{b}"], state["little"][f"block{b}"],
-            little, cfg, stride=1, train=train, policy=policy,
-            axis_name=axis_name)
+            little, 1)
     little = conv_apply(params["little_proj"], little, stride=1, compute_dtype=cd)
     little, new_state["little_proj_bn"] = bn_apply(
         params["little_proj_bn"], state["little_proj_bn"], little, train=train,
@@ -217,9 +243,7 @@ def _bl_stage_apply(params, state, x, cfg: ModelConfig, *, train, policy,
     big_up = jax.image.resize(big, (n, hh, ww, c), method="nearest")
     merged = jax.nn.relu(big_up + little)
 
-    out, new_state["trans"] = _block_apply(
-        params["trans"], state["trans"], merged, cfg, stride=2, train=train,
-        policy=policy, axis_name=axis_name)
+    out, new_state["trans"] = _blk(params["trans"], state["trans"], merged, 2)
     return out, new_state
 
 
@@ -304,6 +328,22 @@ def _shortcut(params, state, x, cfg: ModelConfig, *, stride, train, policy, axis
     return h, new_state
 
 
+def _remat_wrap(fn, cfg: ModelConfig, train: bool):
+    """Wrap ``fn(params, state, x) -> (y, new_state)`` per ``cfg.remat``.
+
+    Training only — eval saves no residuals. 'conv' saves exactly the tagged
+    compute-dtype conv outputs and BN statistics (see ops/conv.py,
+    ops/norm.py) and recomputes every elementwise/attention chain in the
+    backward pass; 'blocks' is full per-region remat.
+    """
+    if not train or cfg.remat == "none":
+        return fn
+    if cfg.remat == "blocks":
+        return jax.checkpoint(fn)
+    policy = jax.checkpoint_policies.save_only_these_names("conv_out", "bn_stats")
+    return jax.checkpoint(fn, policy=policy)
+
+
 def _block_apply(params, state, x, cfg: ModelConfig, *, stride, train, policy, axis_name):
     new_state = {}
     cd = policy.compute_dtype
@@ -361,8 +401,11 @@ def resnet_apply(
     """
     x = policy.cast_to_compute(images)
     new_state = {}
-    x, new_state["stem"] = _stem_apply(params["stem"], state["stem"], x, cfg,
-                                       train=train, policy=policy, axis_name=axis_name)
+    stem_fn = _remat_wrap(
+        lambda p, st, h: _stem_apply(p, st, h, cfg, train=train, policy=policy,
+                                     axis_name=axis_name),
+        cfg, train)
+    x, new_state["stem"] = stem_fn(params["stem"], state["stem"], x)
 
     kp = dropblock_keep_prob(progress, cfg.dropblock_keep_prob)
     for s in range(4):
@@ -380,9 +423,12 @@ def resnet_apply(
         ns = {}
         for b in range(cfg.blocks[s]):
             stride = 2 if (s > 0 and b == 0) else 1
-            x, ns[f"block{b}"] = _block_apply(
-                sp[f"block{b}"], ss[f"block{b}"], x, cfg,
-                stride=stride, train=train, policy=policy, axis_name=axis_name)
+            block_fn = _remat_wrap(
+                lambda p, st, h, _stride=stride: _block_apply(
+                    p, st, h, cfg, stride=_stride, train=train, policy=policy,
+                    axis_name=axis_name),
+                cfg, train)
+            x, ns[f"block{b}"] = block_fn(sp[f"block{b}"], ss[f"block{b}"], x)
             if cfg.use_dropblock and train and stage in cfg.dropblock_stages:
                 if rng is None:
                     raise ValueError("training with DropBlock requires rng")

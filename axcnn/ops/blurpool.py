@@ -26,6 +26,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 from jax import lax
+from jax.ad_checkpoint import checkpoint_name
 
 from axcnn.ops.conv import fixed_pad_amounts
 from axcnn.ops.dispatch import use_pallas
@@ -54,7 +55,7 @@ def blur_pool(x, *, stride: int = 2, filter_size: int = 3):
     # depthwise HWIO with feature_group_count=C: (H, W, 1, C)
     w = jnp.tile(k[:, :, None, None], (1, 1, 1, c))
     pad = fixed_pad_amounts(filter_size)
-    return lax.conv_general_dilated(
+    y = lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride, stride),
@@ -62,3 +63,8 @@ def blur_pool(x, *, stride: int = 2, filter_size: int = 3):
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
     )
+    # Saved under remat='conv': BlurPool is linear (constant filter), so its
+    # backward never needs the primal input — saving the stride-2 output (4x
+    # smaller) lets the following conv's weight-grad read it directly instead
+    # of rematerializing the blur from the mid-conv chain.
+    return checkpoint_name(y, "conv_out")

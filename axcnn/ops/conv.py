@@ -20,6 +20,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from jax import lax
+from jax.ad_checkpoint import checkpoint_name
 
 _DIMSPEC = ("NHWC", "HWIO", "NHWC")
 
@@ -61,7 +62,7 @@ def conv_apply(params, x, *, stride=1, dilation=1, groups=1, compute_dtype=None)
     # fp32 means fp32: request full precision so the fp32 parity path is not
     # silently computed in bf16 passes. bf16 inputs keep the native MXU path.
     precision = lax.Precision.HIGHEST if w.dtype == jnp.float32 else None
-    return lax.conv_general_dilated(
+    y = lax.conv_general_dilated(
         x,
         w,
         window_strides=(stride, stride),
@@ -71,6 +72,11 @@ def conv_apply(params, x, *, stride=1, dilation=1, groups=1, compute_dtype=None)
         feature_group_count=groups,
         precision=precision,
     )
+    # Inert identity tag; under ModelConfig.remat='conv' the block-level
+    # jax.checkpoint policy saves exactly these (compute-dtype) conv outputs
+    # as backward residuals and recomputes the BN/ReLU/attention chains,
+    # which at the HBM roofline trades free VPU FLOPs for saved bytes.
+    return checkpoint_name(y, "conv_out")
 
 
 def dense_init(key, in_ch, out_ch, *, stddev=0.01, dtype=jnp.float32):

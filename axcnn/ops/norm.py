@@ -16,6 +16,7 @@ epilogue.
 from __future__ import annotations
 
 import jax
+from jax.ad_checkpoint import checkpoint_name
 import jax.numpy as jnp
 
 BN_EPS = 1e-5
@@ -55,6 +56,11 @@ def bn_apply(
             mean = jax.lax.pmean(mean, axis_name)
             mean2 = jax.lax.pmean(mean2, axis_name)
         var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+        # Under remat='conv' the per-channel stats are saved (they are tiny
+        # but each costs a full re-read of x to recompute — and a replayed
+        # pmean collective when sync_bn is on).
+        mean = checkpoint_name(mean, "bn_stats")
+        var = checkpoint_name(var, "bn_stats")
         new_state = {
             "mean": state["mean"] * momentum + mean * (1.0 - momentum),
             "var": state["var"] * momentum + var * (1.0 - momentum),

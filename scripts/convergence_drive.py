@@ -13,6 +13,10 @@ results: docs/CONVERGENCE.md.
 Run:  python scripts/convergence_drive.py  (on the TPU; ~10 min)
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import io
 import os
 import sys

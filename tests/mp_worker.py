@@ -10,6 +10,10 @@ Usage: python mp_worker.py <pid> <nprocs> <data_dir> <port>
 Prints 'RESULT <json>' on success; any exception exits nonzero.
 """
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
 import os
 import sys

@@ -64,6 +64,11 @@ def test_two_process_train_and_uneven_eval(tmp_path):
     port = _free_port()
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # worker forces cpu via the config API
+    # the worker script lives in tests/, so Python's script-dir sys.path
+    # injection does not cover the repo root — make `import axcnn` explicit
+    repo_root = os.path.dirname(os.path.dirname(_WORKER))
+    env["PYTHONPATH"] = os.pathsep.join(
+        p for p in (repo_root, env.get("PYTHONPATH", "")) if p)
     procs = [
         subprocess.Popen(
             [sys.executable, _WORKER, str(pid), "2", str(tmp_path), str(port)],

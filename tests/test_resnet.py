@@ -136,3 +136,69 @@ class TestPolicies:
 
         y = f(params, state, x)
         assert y.shape == (1, 1000)
+
+
+class TestRemat:
+    """ModelConfig.remat must be semantically exact: evaluated eagerly (no
+    XLA rescheduling), forward, new BN state, and gradients are bit-equal
+    across modes — the recompute replays the identical ops. (Under jit the
+    restructured graph may reassociate fp32 reductions; that drift is the
+    same class as any XLA graph change and is not asserted here.)"""
+
+    @pytest.mark.parametrize("mode", ["conv", "blocks"])
+    def test_bit_equal_eager(self, mode):
+        base = dict(resnet_size=50, num_classes=5, width_multiplier=0.25,
+                    use_resnet_d=True, use_se_block=True, use_sk_block=True,
+                    anti_alias_type="sconv")
+        x = jax.random.uniform(jax.random.key(0), (2, 32, 32, 3))
+        labels = jnp.array([1, 3])
+
+        def run(remat):
+            cfg = ModelConfig(**base, remat=remat)
+            params, state = resnet_init(jax.random.key(1), cfg)
+
+            def loss_fn(p):
+                logits, ns = resnet_apply(p, state, x, cfg=cfg, train=True)
+                nll = -jnp.mean(
+                    jax.nn.log_softmax(logits)[jnp.arange(2), labels])
+                return nll, (logits, ns)
+
+            with jax.disable_jit():
+                (l, (logits, ns)), g = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params)
+            return l, logits, ns, g
+
+        l0, lo0, ns0, g0 = run("none")
+        l1, lo1, ns1, g1 = run(mode)
+        assert float(l0) == float(l1)
+        np.testing.assert_array_equal(np.asarray(lo0), np.asarray(lo1))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                       np.asarray(b)),
+            (ns0, g0), (ns1, g1))
+
+    def test_remat_validation(self):
+        with pytest.raises(ValueError):
+            ModelConfig(remat="bogus")
+
+    def test_remat_jit_train_step_runs(self):
+        # plumbing: the full train step compiles and runs with remat='conv'
+        from axcnn.train.schedules import make_lr_schedule
+        from axcnn.train.train_step import (create_train_state,
+                                            make_train_step)
+
+        cfg = ModelConfig(resnet_size=50, num_classes=5,
+                          width_multiplier=0.25, use_se_block=True,
+                          remat="conv")
+        step = jax.jit(make_train_step(
+            cfg,
+            lr_schedule=make_lr_schedule(base_lr=0.1, total_steps=10,
+                                         warmup_steps=2),
+            total_steps=10, mixup_alpha=0.2, use_ema=True))
+        state = create_train_state(jax.random.key(0), cfg, use_ema=True)
+        batch = {
+            "images": np.zeros((2, 32, 32, 3), np.uint8),
+            "labels": np.array([0, 1], np.int32),
+        }
+        state, metrics = step(state, batch, jax.random.key(1))
+        assert np.isfinite(float(metrics["loss"]))
