@@ -57,11 +57,15 @@ def _iter_block_entries(block_params, block_state):
 
 def expected_tf_names(cfg: ModelConfig, params, state):
     """Walk (params, state) in creation order; returns
-    [(tf_name, our_path, shape)] for conv/BN/dense variables."""
-    if cfg.use_bl:
-        raise NotImplementedError(
-            "TF-checkpoint import for Big-Little models needs the upstream "
-            "variable layout (reference mount empty; SURVEY.md §0)")
+    [(tf_name, our_path, shape)] for conv/BN/dense variables.
+
+    Big-Little stages follow OUR creation order (big blocks, little blocks,
+    little-projection conv+BN, transition block — models/resnet.py
+    ``_bl_stage_init``); the upstream BL variable layout is [K-med]
+    (SURVEY.md §0), so as with the rest of the scheme the contract is
+    "TF-official auto-numbering over this creation order", validated
+    end-to-end in tests/test_tf_import_e2e.py against TF's own uniquing.
+    """
     namer = _Namer()
     out = []
 
@@ -85,39 +89,53 @@ def expected_tf_names(cfg: ModelConfig, params, state):
         conv(f"stem/conv{i}", stem_p[f"conv{i}"])
         bn(f"stem/bn{i}", stem_p[f"bn{i}"], stem_s[f"bn{i}"])
 
+    def emit_block(base, bp, bs):
+        for kind, p, st in _iter_block_entries(bp, bs):
+            if kind.endswith("conv") or kind.startswith("conv"):
+                conv(f"{base}/{kind}", p)
+            elif kind.startswith("bn") or kind == "proj_bn":
+                bn(f"{base}/{kind}", p, st)
+            elif kind == "sk":
+                # SK internals: branch convs+BNs in order, then FCs
+                for b in range(2):
+                    conv(f"{base}/sk/conv{b}", p[f"conv{b}"])
+                    bn(f"{base}/sk/bn{b}", p[f"bn{b}"], st[f"bn{b}"])
+                n = namer.next("dense")
+                out.append((f"{n}/kernel", f"{base}/sk/fc_z/w",
+                            tuple(p["fc_z"]["w"].shape)))
+                bn(f"{base}/sk/bn_z", p["bn_z"], st["bn_z"])
+                n = namer.next("dense")
+                out.append((f"{n}/kernel", f"{base}/sk/fc_select/w",
+                            tuple(p["fc_select"]["w"].shape)))
+                out.append((f"{n}/bias", f"{base}/sk/fc_select/b",
+                            tuple(p["fc_select"]["b"].shape)))
+            elif kind == "se":
+                for w, b in (("w1", "b1"), ("w2", "b2")):
+                    n = namer.next("dense")
+                    out.append((f"{n}/kernel", f"{base}/se/{w}",
+                                tuple(p[w].shape)))
+                    out.append((f"{n}/bias", f"{base}/se/{b}",
+                                tuple(p[b].shape)))
+
+    from axcnn.models.resnet import _BL_STAGES
+
     for s_idx in range(4):
         sname = f"stage{s_idx + 1}"
+        sp, ss = params[sname], state[sname]
+        if cfg.use_bl and s_idx in _BL_STAGES:
+            for branch in ("big", "little"):
+                for b_idx in range(len(sp[branch])):
+                    emit_block(f"{sname}/{branch}/block{b_idx}",
+                               sp[branch][f"block{b_idx}"],
+                               ss[branch][f"block{b_idx}"])
+            conv(f"{sname}/little_proj", sp["little_proj"])
+            bn(f"{sname}/little_proj_bn", sp["little_proj_bn"],
+               ss["little_proj_bn"])
+            emit_block(f"{sname}/trans", sp["trans"], ss["trans"])
+            continue
         for b_idx in range(cfg.blocks[s_idx]):
             bname = f"block{b_idx}"
-            bp = params[sname][bname]
-            bs = state[sname][bname]
-            base = f"{sname}/{bname}"
-            for kind, p, st in _iter_block_entries(bp, bs):
-                if kind.endswith("conv") or kind.startswith("conv"):
-                    conv(f"{base}/{kind}", p)
-                elif kind.startswith("bn") or kind == "proj_bn":
-                    bn(f"{base}/{kind}", p, st)
-                elif kind == "sk":
-                    # SK internals: branch convs+BNs in order, then FCs
-                    for b in range(2):
-                        conv(f"{base}/sk/conv{b}", p[f"conv{b}"])
-                        bn(f"{base}/sk/bn{b}", p[f"bn{b}"], st[f"bn{b}"])
-                    n = namer.next("dense")
-                    out.append((f"{n}/kernel", f"{base}/sk/fc_z/w",
-                                tuple(p["fc_z"]["w"].shape)))
-                    bn(f"{base}/sk/bn_z", p["bn_z"], st["bn_z"])
-                    n = namer.next("dense")
-                    out.append((f"{n}/kernel", f"{base}/sk/fc_select/w",
-                                tuple(p["fc_select"]["w"].shape)))
-                    out.append((f"{n}/bias", f"{base}/sk/fc_select/b",
-                                tuple(p["fc_select"]["b"].shape)))
-                elif kind == "se":
-                    for i, (w, b) in enumerate((("w1", "b1"), ("w2", "b2"))):
-                        n = namer.next("dense")
-                        out.append((f"{n}/kernel", f"{base}/se/{w}",
-                                    tuple(p[w].shape)))
-                        out.append((f"{n}/bias", f"{base}/se/{b}",
-                                    tuple(p[b].shape)))
+            emit_block(f"{sname}/{bname}", sp[bname], ss[bname])
 
     n = namer.next("dense")
     out.append((f"{n}/kernel", "head/w", tuple(params["head"]["w"].shape)))

@@ -109,12 +109,15 @@ def _sk(x, ch, stride):
         branches[1] * attn[:, 1, None, None, :]
 
 
-def _block(x, filters, stride, *, assembled):
+def _block(x, filters, stride, *, assembled, force_proj=False):
     out_ch = filters * 4
     in_ch = int(x.shape[-1])
-    # creation order matches the TF-official builder: projection first
+    # creation order matches the TF-official builder: projection first.
+    # force_proj mirrors models/resnet.py's has_proj=(b==0): the first block
+    # of a (sub)stage always projects, even when in_ch == out_ch at stride 1
+    # (the Big-Little little branch hits that case).
     shortcut = x
-    if stride > 1 or in_ch != out_ch:
+    if stride > 1 or in_ch != out_ch or force_proj:
         s = x
         if assembled and stride > 1:  # ResNet-D downsample
             s = tf.nn.avg_pool2d(s, ksize=stride, strides=stride, padding="SAME")
@@ -135,7 +138,23 @@ def _block(x, filters, stride, *, assembled):
     return tf.nn.relu(h + shortcut)
 
 
-def _tf_model(x, blocks, num_classes, *, assembled):
+def _bl_stage(x, filters, n_blocks, *, assembled, alpha, beta):
+    """Mirror of models/resnet.py _bl_stage_apply in raw TF ops, with
+    variables created in the same order (big, little, little_proj, trans)."""
+    lf = max(filters // alpha, 16)
+    big = x
+    for b in range(max(n_blocks - 1, 1)):
+        big = _block(big, filters, 2 if b == 0 else 1, assembled=assembled)
+    little = x
+    for b in range(max(1, n_blocks // beta)):
+        little = _block(little, lf, 1, assembled=assembled, force_proj=b == 0)
+    little = _bn(_conv(little, filters * 4, 1, 1))
+    big_up = tf.repeat(tf.repeat(big, 2, axis=1), 2, axis=2)  # nearest x2
+    merged = tf.nn.relu(big_up + little)
+    return _block(merged, filters, 2, assembled=assembled)
+
+
+def _tf_model(x, blocks, num_classes, *, assembled, bl=0):
     with tf1.variable_scope("resnet_model"):
         if assembled:  # ResNet-D deep stem
             for i in range(3):
@@ -145,6 +164,10 @@ def _tf_model(x, blocks, num_classes, *, assembled):
             x = tf.nn.relu(_bn(_conv(x, 64, 7, 2)))
         x = tf.nn.max_pool2d(x, ksize=3, strides=2, padding="SAME")
         for s in range(4):
+            if bl and s in (1, 2):  # models/resnet.py _BL_STAGES
+                x = _bl_stage(x, 64 * (2 ** s), blocks[s],
+                              assembled=assembled, alpha=bl, beta=bl * 2)
+                continue
             for b in range(blocks[s]):
                 stride = 2 if (s > 0 and b == 0) else 1
                 x = _block(x, 64 * (2 ** s), stride, assembled=assembled)
@@ -180,18 +203,19 @@ def _randomize_variables(sess, rng):
     sess.run(assigns)
 
 
-def _run_case(tmp_path, *, assembled):
+def _run_case(tmp_path, *, assembled, bl=0):
     cfg = ModelConfig(
         resnet_size=50, num_classes=7, use_resnet_d=assembled,
         use_se_block=assembled, use_sk_block=assembled,
-        anti_alias_type="sconv" if assembled else "none")
+        anti_alias_type="sconv" if assembled else "none",
+        bl_alpha=bl, bl_beta=bl * 2)
     rng = np.random.default_rng(3 if assembled else 2)
     x = rng.standard_normal((2, 64, 64, 3)).astype(np.float32)
 
     graph = tf.Graph()
     with graph.as_default():
         inp = tf1.placeholder(tf.float32, x.shape)
-        logits_t = _tf_model(inp, (3, 4, 6, 3), 7, assembled=assembled)
+        logits_t = _tf_model(inp, (3, 4, 6, 3), 7, assembled=assembled, bl=bl)
         ema = tf1.train.ExponentialMovingAverage(0.99)
         ema_op = ema.apply(tf1.trainable_variables())
         saver = tf1.train.Saver()
@@ -247,3 +271,9 @@ class TestTFImportEndToEnd:
 
     def test_assembled_r50(self, tmp_path):
         _run_case(tmp_path, assembled=True)
+
+    def test_big_little_assembled_r50(self, tmp_path):
+        # bl_alpha=2, bl_beta=4: BL dual-resolution stages 2-3 on top of the
+        # full assembly — covers the branch ordering (big, little,
+        # little_proj, trans) in expected_tf_names
+        _run_case(tmp_path, assembled=True, bl=2)
