@@ -98,8 +98,13 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     split_dir = os.path.join(args.input_dir, args.split)
+    if not os.path.isdir(split_dir):
+        p.error(f"--input_dir/--split: {split_dir!r} is not a directory "
+                "(expected layout: <input_dir>/<split>/<class_name>/*.jpg)")
     classes = sorted(d for d in os.listdir(split_dir)
                      if os.path.isdir(os.path.join(split_dir, d)))
+    if not classes:
+        p.error(f"no class subdirectories under {split_dir!r}")
     offset = resolve_label_offset(args.dataset, args.label_offset, len(classes))
     prefix = args.prefix or ("validation" if args.split.startswith("val") else args.split)
     items, classes = collect_images(split_dir, label_offset=offset)

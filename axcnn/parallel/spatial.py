@@ -1,0 +1,93 @@
+"""Spatial partitioning: shard the image H axis across chips (GSPMD).
+
+SURVEY.md §5.7: the reference has no sequence/context parallelism (CNN
+classifier, no sequence axis) — the honest analogue for CNNs is sharding the
+SPATIAL axes of large images across chips, with the compiler exchanging
+convolution halos over ICI. The reference cannot do this at all; here it is
+an opt-in second parallelism axis (``--runtime.spatial_partitions``) for
+high-resolution work (large-image FGVC fine-tune, 448²+ inputs) where one
+chip's HBM or FLOPs are not enough per image.
+
+TPU-first design — this is the *other* idiomatic JAX distribution style from
+the shard_map DP path in ``axcnn.parallel.mesh``:
+
+- The step function is built with ``axis_name=None`` (pure global-batch
+  semantics — no explicit collectives in user code).
+- A 2-D ``(data, spatial)`` mesh; images are placed with
+  ``P('data', 'spatial', None, None)`` (batch over ``data``, H over
+  ``spatial``), parameters replicated.
+- ``jax.jit`` + GSPMD partitions every op: convolutions get halo exchanges
+  on the H boundary, BN batch statistics become cross-device reductions
+  (exactly global-batch sync-BN), gradient reductions fall out of the
+  partitioned transpose — XLA schedules all communication over ICI.
+
+Because the program is logically the single-device program, a spatial run is
+numerically the global-batch computation (one mixup draw, global BN stats,
+global DropBlock masks) — pinned against the unsharded step in
+tests/test_spatial.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+SPATIAL_AXIS = "spatial"
+
+
+def make_spatial_mesh(spatial: int, data: int = 0, *, devices=None) -> Mesh:
+    """(data, spatial) mesh. ``data=0`` uses all remaining visible devices.
+
+    Keep ``spatial`` on the minor (fastest / most local) axis of the device
+    order: halo exchange is nearest-neighbor traffic, so the spatially
+    adjacent shards should sit on ICI neighbors.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if spatial < 1:
+        raise ValueError(f"spatial must be >= 1, got {spatial}")
+    if len(devices) % spatial:
+        raise ValueError(
+            f"{len(devices)} devices not divisible by spatial={spatial}")
+    data = data or len(devices) // spatial
+    devices = devices[: data * spatial]
+    return Mesh(np.array(devices).reshape(data, spatial),
+                (DATA_AXIS, SPATIAL_AXIS))
+
+
+def spatial_batch_sharding(mesh: Mesh):
+    """Per-leaf shardings: images (N, H, W, C) split batch x height."""
+    return {
+        "images": NamedSharding(mesh, P(DATA_AXIS, SPATIAL_AXIS, None, None)),
+        "labels": NamedSharding(mesh, P(DATA_AXIS)),
+    }
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def spatial_train_step(train_step, mesh: Mesh):
+    """Jit a global-semantics ``train_step(state, batch, key)`` (built with
+    ``axis_name=None``) over the (data, spatial) mesh.
+
+    State and key replicated, batch spatially sharded; GSPMD inserts the
+    halo exchanges / reductions. State buffers donated.
+    """
+    rep = replicated(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(rep, spatial_batch_sharding(mesh), rep),
+        out_shardings=(rep, rep),
+        donate_argnums=(0,),
+    )
+
+
+def spatial_eval_step(eval_step, mesh: Mesh):
+    rep = replicated(mesh)
+    return jax.jit(
+        eval_step,
+        in_shardings=(rep, spatial_batch_sharding(mesh)),
+        out_shardings=rep,
+    )

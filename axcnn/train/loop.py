@@ -174,10 +174,11 @@ def _eval_batches(eval_loader, batch_size):
 
 
 def evaluate(eval_step_fn, state, eval_loader, *, batch_size, mesh=None,
-             prefetch=2):
+             prefetch=2, sharding=None):
     """Full eval pass; returns {'top1': %, 'top5': %, 'loss': mean, 'count': N}."""
     totals = {}
-    sharding = batch_sharding(mesh) if mesh is not None else None
+    if sharding is None:
+        sharding = batch_sharding(mesh) if mesh is not None else None
     for batch in device_prefetch(
             _eval_batches(eval_loader, batch_size), size=prefetch,
             sharding=sharding):
@@ -213,11 +214,24 @@ def run(cfg: Config):
 
     devices = jax.devices()
     n_dev = cfg.runtime.num_devices or len(devices)
-    use_mesh = n_dev > 1
+    spatial = max(cfg.runtime.spatial_partitions, 1)
+    if spatial > 1:
+        # GSPMD path: batch over 'data', image H over 'spatial'; the step is
+        # the plain global-semantics function (axis_name=None) and XLA
+        # inserts halo exchanges / reductions (axcnn/parallel/spatial.py)
+        if jax.process_count() > 1:
+            raise NotImplementedError(
+                "runtime.spatial_partitions is single-host for now")
+        if n_dev % spatial:
+            raise ValueError(
+                f"{n_dev} devices not divisible by spatial={spatial}")
+    dp_shards = n_dev // spatial
+    use_mesh = n_dev > 1 and spatial == 1
     mesh = make_mesh(n_dev) if use_mesh else None
-    if cfg.train.batch_size % n_dev:
+    if cfg.train.batch_size % max(dp_shards, 1):
         raise ValueError(
-            f"global batch {cfg.train.batch_size} not divisible by {n_dev} devices")
+            f"global batch {cfg.train.batch_size} not divisible by "
+            f"{dp_shards} data-parallel shards")
 
     # steps accounting
     if cfg.train.train_steps > 0:
@@ -260,7 +274,18 @@ def run(cfg: Config):
         cfg.model, policy=policy, use_ema=cfg.train.use_ema,
         mean_rgb=info.mean_rgb, stddev_rgb=info.stddev_rgb)
 
-    if use_mesh:
+    batch_shd = None
+    if spatial > 1:
+        from axcnn.parallel.spatial import (
+            make_spatial_mesh, spatial_batch_sharding, spatial_eval_step,
+            spatial_train_step)
+
+        smesh = make_spatial_mesh(spatial, data=dp_shards,
+                                  devices=devices[:n_dev])
+        train_step_fn = spatial_train_step(train_step, smesh)
+        eval_step_fn = spatial_eval_step(eval_step, smesh)
+        batch_shd = spatial_batch_sharding(smesh)
+    elif use_mesh:
         train_step_fn = shard_train_step(train_step, mesh)
         eval_step_fn = shard_eval_step(eval_step, mesh)
     else:
@@ -298,7 +323,7 @@ def run(cfg: Config):
     if cfg.runtime.eval_only:
         metrics = evaluate(eval_step_fn, state, eval_loader,
                            batch_size=cfg.train.batch_size // jax.process_count(),
-                           mesh=mesh,
+                           mesh=mesh, sharding=batch_shd,
                            prefetch=cfg.data.prefetch)
         logger.log("eval", int(jax.device_get(state.step)), **metrics)
         _maybe_export()
@@ -306,7 +331,8 @@ def run(cfg: Config):
         return metrics
 
     root_key = jax.random.key(cfg.train.seed + 1)
-    sharding = batch_sharding(mesh) if mesh is not None else None
+    sharding = batch_shd if batch_shd is not None else (
+        batch_sharding(mesh) if mesh is not None else None)
     throughput = Throughput(cfg.train.batch_size)
     eval_metrics = {}
 
@@ -346,7 +372,7 @@ def run(cfg: Config):
         if at_eval:
             eval_metrics = evaluate(eval_step_fn, state, eval_loader,
                                     batch_size=cfg.train.batch_size // jax.process_count(),
-                                    mesh=mesh,
+                                    mesh=mesh, sharding=batch_shd,
                                     prefetch=cfg.data.prefetch)
             logger.log("eval", step, **eval_metrics)
             ckpt.save(state, loader_state=train_iter.consumed_state

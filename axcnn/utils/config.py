@@ -91,6 +91,10 @@ class RuntimeConfig:
     save_checkpoint_steps: int = 0  # 0 = once per eval cycle
     keep_checkpoint_max: int = 5
     num_devices: int = 0  # 0 = all visible
+    # >1: shard the image H axis over this many chips per data shard
+    # (axcnn/parallel/spatial.py — GSPMD halo exchange; for large-image
+    # work where one chip per image is not enough). Single-host only.
+    spatial_partitions: int = 1
     profile_steps: int = 0  # >0: wrap N steps in jax.profiler.trace
     tensorboard: bool = False  # also write TB scalar summaries to <model_dir>/tb
     eval_only: bool = False

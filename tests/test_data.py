@@ -387,3 +387,17 @@ class TestDatasets:
         assert get_dataset("food101").label_offset == 0
         with pytest.raises(ValueError):
             get_dataset("nope")
+
+
+def test_build_tfrecords_bad_input_dir_clean_error(tmp_path, capsys):
+    """A bad --input_dir must exit with a clean argparse error, not a
+    traceback (verify-skill 'known rough edge', fixed round 2)."""
+    import pytest as _pytest
+
+    from axcnn.data.build_tfrecords import main as build_main
+
+    with _pytest.raises(SystemExit) as e:
+        build_main([f"--input_dir={tmp_path / 'nope'}",
+                    f"--output_dir={tmp_path / 'out'}", "--split=train"])
+    assert e.value.code == 2
+    assert "is not a directory" in capsys.readouterr().err

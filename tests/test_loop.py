@@ -66,6 +66,19 @@ class TestRunLoop:
         m = run(cfg)
         assert m["count"] > 0 and np.isfinite(m["loss"])
 
+    def test_run_spatial(self, tmp_path):
+        """run() with runtime.spatial_partitions=2: GSPMD (data=4, spatial=2)
+        mesh through the same loop code the CLI uses."""
+        import dataclasses as dc
+
+        from axcnn.train.loop import run
+
+        cfg = _tiny_cfg(tmp_path, batch_size=8)
+        cfg = dc.replace(cfg, runtime=dc.replace(
+            cfg.runtime, num_devices=8, spatial_partitions=2))
+        m = run(cfg)
+        assert m["count"] > 0 and np.isfinite(m["loss"])
+
     def test_predict_cli(self, tmp_path):
         """predict CLI end to end (random-init warning path): JPEG in,
         one JSON line with a 5-entry top-5 out."""
