@@ -11,8 +11,11 @@ Two implementations behind one interface (SURVEY.md §7.1):
   ``feature_group_count=C`` and the same explicit fixed-padding scheme as
   our convs.
 - Pallas (``axcnn.pallas.blurpool``): even/odd-phase VPU kernel with a
-  matching hand-derived Pallas backward — bit-identical outputs (the filter
-  is exact in fp32). NOT selected by ``auto`` dispatch: measured on the real
+  matching hand-derived Pallas backward — bit-identical to the XLA conv in
+  fp32 on CPU/interpret; on the TPU the Pallas kernel does true fp32 VPU
+  math while XLA's ``Precision.HIGHEST`` conv is multi-pass MXU emulation
+  (agree to ~2e-7; scripts/tpu_selftest.py — the Pallas kernel is the more
+  exact one). NOT selected by ``auto`` dispatch: measured on the real
   chip, the pallas_call boundary breaks XLA's fusion around each BlurPool
   site and regresses the (HBM-bound) step 80.2→87.9 ms; ``AXCNN_PALLAS=on``
   forces it (numbers in docs/DESIGN.md).
@@ -55,6 +58,11 @@ def blur_pool(x, *, stride: int = 2, filter_size: int = 3):
     # depthwise HWIO with feature_group_count=C: (H, W, 1, C)
     w = jnp.tile(k[:, :, None, None], (1, 1, 1, c))
     pad = fixed_pad_amounts(filter_size)
+    # fp32 means fp32 (same rule as ops/conv.py): on TPU the default conv
+    # precision is bf16 passes, which for fp32 inputs would silently lose
+    # ~3 decimal digits (measured 3e-3 abs on N(0,1) inputs vs the exact
+    # fp32 Pallas kernel — scripts/tpu_selftest.py).
+    precision = lax.Precision.HIGHEST if x.dtype == jnp.float32 else None
     y = lax.conv_general_dilated(
         x,
         w,
@@ -62,6 +70,7 @@ def blur_pool(x, *, stride: int = 2, filter_size: int = 3):
         padding=(pad, pad),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=c,
+        precision=precision,
     )
     # Saved under remat='conv': BlurPool is linear (constant filter), so its
     # backward never needs the primal input — saving the stride-2 output (4x
