@@ -94,8 +94,9 @@ class ModelConfig:
             raise ValueError(f"bad anti_alias_type {self.anti_alias_type!r}")
         if (self.bl_alpha > 0) != (self.bl_beta > 0):
             raise ValueError("bl_alpha and bl_beta must be set together")
-        if self.remat not in ("none", "conv", "blocks"):
-            raise ValueError(f"remat must be none|conv|blocks, got {self.remat!r}")
+        if self.remat not in ("none", "conv", "conv_nocse", "blocks"):
+            raise ValueError(
+                f"remat must be none|conv|conv_nocse|blocks, got {self.remat!r}")
 
     @property
     def use_bl(self) -> bool:
@@ -341,7 +342,12 @@ def _remat_wrap(fn, cfg: ModelConfig, train: bool):
     if cfg.remat == "blocks":
         return jax.checkpoint(fn)
     policy = jax.checkpoint_policies.save_only_these_names("conv_out", "bn_stats")
-    return jax.checkpoint(fn, policy=policy)
+    # 'conv_nocse' drops the optimization barriers (prevent_cse=False) to
+    # isolate how much of the measured 'conv' regression is barrier-broken
+    # fusion vs recompute reads — without barriers XLA is free to CSE the
+    # recompute back into the forward (i.e. behave like 'none').
+    return jax.checkpoint(fn, policy=policy,
+                          prevent_cse=cfg.remat != "conv_nocse")
 
 
 def _block_apply(params, state, x, cfg: ModelConfig, *, stride, train, policy, axis_name):
