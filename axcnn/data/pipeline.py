@@ -305,10 +305,20 @@ class DevicePrefetch:
                         if multihost:
                             # each host contributes its local shard of the
                             # global batch (per-host input sharding,
-                            # SURVEY.md §5.8)
-                            batch = jax.tree.map(
-                                lambda x: jax.make_array_from_process_local_data(
-                                    sharding, x), batch)
+                            # SURVEY.md §5.8). ``sharding`` may be a single
+                            # Sharding or a pytree matching the batch (the
+                            # spatial path shards images and labels
+                            # differently).
+                            if isinstance(sharding, jax.sharding.Sharding):
+                                batch = jax.tree.map(
+                                    lambda x:
+                                    jax.make_array_from_process_local_data(
+                                        sharding, x), batch)
+                            else:
+                                batch = jax.tree.map(
+                                    lambda s, x:
+                                    jax.make_array_from_process_local_data(
+                                        s, x), sharding, batch)
                         else:
                             batch = jax.device_put(batch, sharding)
                     else:

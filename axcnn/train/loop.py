@@ -218,13 +218,19 @@ def run(cfg: Config):
     if spatial > 1:
         # GSPMD path: batch over 'data', image H over 'spatial'; the step is
         # the plain global-semantics function (axis_name=None) and XLA
-        # inserts halo exchanges / reductions (axcnn/parallel/spatial.py)
-        if jax.process_count() > 1:
-            raise NotImplementedError(
-                "runtime.spatial_partitions is single-host for now")
+        # inserts halo exchanges / reductions (axcnn/parallel/spatial.py).
+        # Multi-host: each (data, spatial) mesh row must live on ONE host so
+        # every host's local batch covers its addressable shards (the H split
+        # is sliced from the host-local rows by
+        # make_array_from_process_local_data).
         if n_dev % spatial:
             raise ValueError(
                 f"{n_dev} devices not divisible by spatial={spatial}")
+        if jax.process_count() > 1 and jax.local_device_count() % spatial:
+            raise ValueError(
+                f"spatial={spatial} must divide the per-host device count "
+                f"({jax.local_device_count()}) so halo neighbors stay on-host "
+                "rows")
     dp_shards = n_dev // spatial
     use_mesh = n_dev > 1 and spatial == 1
     mesh = make_mesh(n_dev) if use_mesh else None

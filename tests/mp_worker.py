@@ -69,17 +69,31 @@ def main():
                                           warmup_steps=2),
         total_steps=10, policy=BF16_POLICY, label_smoothing=0.1,
         mixup_alpha=0.2, weight_decay=1e-4, use_ema=True, axis_name=DATA_AXIS)
-    step_fn = shard_train_step(train_step, mesh)
     state = create_train_state(jax.random.key(0), cfg, use_ema=True)
     state = jax.device_put(state, jax.sharding.NamedSharding(
         mesh, jax.sharding.PartitionSpec()))
 
     it = device_prefetch(iter(train_loader), size=1,
                          sharding=batch_sharding(mesh))
+    first = next(it)
+    # AOT-compile BEFORE executing: compilation is collective-free, so both
+    # processes finish it before either blocks in a cross-host allreduce —
+    # with cold caches, lazy compile staggers the ranks by minutes on this
+    # 1-core box and times out the Gloo collective (observed flake). The
+    # raised in-process collective timeouts cover the intra-host legs.
+    timeouts = {
+        "xla_cpu_collective_call_warn_stuck_seconds": "300",
+        "xla_cpu_collective_call_terminate_timeout_seconds": "1800",
+    }
+    step_fn = shard_train_step(train_step, mesh).lower(
+        state, first, jax.random.key(1)).compile(compiler_options=timeouts)
     losses = []
-    for _ in range(2):
-        state, metrics = step_fn(state, next(it), jax.random.key(1))
+    batch = first
+    for i in range(2):
+        state, metrics = step_fn(state, batch, jax.random.key(1))
         losses.append(float(jax.device_get(metrics["loss"])))
+        if i == 0:
+            batch = next(it)
     assert all(np.isfinite(l) for l in losses), losses
 
     # --- uneven-shard eval: host 0 owns 12 records, host 1 owns 4 ----------
@@ -93,11 +107,43 @@ def main():
     metrics = evaluate(eval_fn, state, eval_loader, batch_size=local_bs,
                        mesh=mesh, prefetch=1)
 
+    # --- spatial partitioning ACROSS hosts: (data=2 hosts, spatial=2) ------
+    # mesh rows align with processes (2 local devices, spatial=2), so each
+    # host feeds full-H rows and make_array_from_process_local_data slices
+    # the H split onto its local devices; GSPMD halo exchange crosses only
+    # intra-host device boundaries, BN stats/grad reductions cross hosts.
+    from axcnn.parallel.spatial import (make_spatial_mesh,
+                                        spatial_batch_sharding,
+                                        spatial_train_step)
+
+    smesh = make_spatial_mesh(2)  # (data=nprocs, spatial=2)
+    sp_step = make_train_step(
+        cfg, lr_schedule=make_lr_schedule(base_lr=0.1, total_steps=10,
+                                          warmup_steps=2),
+        total_steps=10, policy=BF16_POLICY, label_smoothing=0.1,
+        mixup_alpha=0.2, weight_decay=1e-4, use_ema=True, axis_name=None)
+    sp_state = create_train_state(jax.random.key(0), cfg, use_ema=True)
+    sp_state = jax.device_put(sp_state, jax.sharding.NamedSharding(
+        smesh, jax.sharding.PartitionSpec()))
+    sp_loader = TFRecordImageLoader(
+        data_dir, info, batch_size=local_bs, train=True, image_size=32,
+        seed=5, num_workers=2, host_id=pid, num_hosts=nprocs)
+    sp_it = device_prefetch(iter(sp_loader), size=1,
+                            sharding=spatial_batch_sharding(smesh))
+    sp_batch = next(sp_it)
+    sp_fn = spatial_train_step(sp_step, smesh).lower(
+        sp_state, sp_batch, jax.random.key(2)).compile(
+        compiler_options=timeouts)  # AOT: see the DP phase note
+    sp_state, sp_metrics = sp_fn(sp_state, sp_batch, jax.random.key(2))
+    sp_loss = float(jax.device_get(sp_metrics["loss"]))
+    assert np.isfinite(sp_loss), sp_loss
+
     print("RESULT " + json.dumps({
         "pid": pid,
         "train_losses": [round(l, 6) for l in losses],
         "eval_count": metrics["count"],
         "eval_top1": round(metrics["top1"], 4),
+        "spatial_loss": round(sp_loss, 6),
     }), flush=True)
 
 

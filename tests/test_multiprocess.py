@@ -99,3 +99,6 @@ def test_two_process_train_and_uneven_eval(tmp_path):
     # eval covered all 16 records exactly once, despite 12/4 shard split
     assert results[0]["eval_count"] == 16.0
     assert results[0]["eval_top1"] == results[1]["eval_top1"]
+    # spatial GSPMD step across hosts (data=hosts, spatial=local devices):
+    # the replicated global loss must agree on both
+    assert results[0]["spatial_loss"] == results[1]["spatial_loss"]
