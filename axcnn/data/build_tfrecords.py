@@ -62,6 +62,63 @@ def write_shards(items, output_dir: str, prefix: str, num_shards: int, *,
     return n
 
 
+def collect_food101(root: str, split: str):
+    """Published Food-101 archive layout: ``images/<class>/<id>.jpg`` +
+    ``meta/train.txt`` / ``meta/test.txt`` with ``<class>/<id>`` lines."""
+    meta = os.path.join(root, "meta",
+                        "train.txt" if split == "train" else "test.txt")
+    with open(meta) as f:
+        entries = [ln.strip() for ln in f if ln.strip()]
+    classes = sorted({e.split("/")[0] for e in entries})
+    index = {c: i for i, c in enumerate(classes)}
+    items = [(os.path.join(root, "images", e + ".jpg"), index[e.split("/")[0]],
+              e.split("/")[0]) for e in entries]
+    return items, classes
+
+
+def collect_cub200(root: str, split: str):
+    """CUB-200-2011 layout: id-indexed ``images.txt`` /
+    ``image_class_labels.txt`` (1-based labels) / ``train_test_split.txt``
+    (1 = train), images under ``images/``."""
+    def read_pairs(name):
+        with open(os.path.join(root, name)) as f:
+            return dict(ln.split(None, 1) for ln in
+                        (l.strip() for l in f) if ln)
+
+    paths = read_pairs("images.txt")
+    labels = read_pairs("image_class_labels.txt")
+    is_train = read_pairs("train_test_split.txt")
+    classes = [c.strip().split(None, 1)[1]
+               for c in open(os.path.join(root, "classes.txt"))
+               if c.strip()]
+    want = "1" if split == "train" else "0"
+    items = []
+    for img_id, rel in sorted(paths.items(), key=lambda kv: int(kv[0])):
+        if is_train[img_id].strip() != want:
+            continue
+        label = int(labels[img_id]) - 1  # file is 1-based
+        items.append((os.path.join(root, "images", rel.strip()), label,
+                      classes[label]))
+    return items, classes
+
+
+def collect_imagenet_val(root: str, labels_file: str):
+    """Flat ILSVRC validation layout: JPEGs in one directory + a labels file
+    with one 0-based class index per line, aligned to the LEXICOGRAPHICALLY
+    SORTED filenames (the devkit ground-truth convention; subtract 1 first
+    if your file is 1-based)."""
+    files = sorted(f for f in os.listdir(root)
+                   if f.lower().endswith(IMAGE_EXTS))
+    with open(labels_file) as f:
+        labels = [int(ln) for ln in f if ln.strip()]
+    if len(labels) != len(files):
+        raise ValueError(
+            f"{len(labels)} labels in {labels_file} but {len(files)} images "
+            f"in {root}")
+    return [(os.path.join(root, fn), lab, str(lab))
+            for fn, lab in zip(files, labels)]
+
+
 def resolve_label_offset(dataset: str | None, explicit: int | None,
                          num_classes_found: int) -> int:
     """Offset from the registry (background class only for ImageNet-style
@@ -95,19 +152,46 @@ def main(argv=None):
     p.add_argument("--label_offset", type=int, default=None,
                    help="override the registry-derived offset (default: "
                         "1 for ImageNet's 1001-way head, else 0)")
+    p.add_argument("--layout", default="folders",
+                   choices=("folders", "food101", "cub200", "imagenet_val"),
+                   help="on-disk source layout: 'folders' = "
+                        "<input_dir>/<split>/<class>/*.jpg; 'food101' = the "
+                        "published Food-101 archive (images/ + meta/*.txt); "
+                        "'cub200' = CUB-200-2011 (images.txt etc.); "
+                        "'imagenet_val' = flat JPEG dir + --val_labels")
+    p.add_argument("--val_labels", default="",
+                   help="imagenet_val layout: ground-truth file, one 0-based "
+                        "class index per line aligned to sorted filenames")
     args = p.parse_args(argv)
 
-    split_dir = os.path.join(args.input_dir, args.split)
-    if not os.path.isdir(split_dir):
-        p.error(f"--input_dir/--split: {split_dir!r} is not a directory "
-                "(expected layout: <input_dir>/<split>/<class_name>/*.jpg)")
-    classes = sorted(d for d in os.listdir(split_dir)
-                     if os.path.isdir(os.path.join(split_dir, d)))
-    if not classes:
-        p.error(f"no class subdirectories under {split_dir!r}")
-    offset = resolve_label_offset(args.dataset, args.label_offset, len(classes))
+    if args.layout == "folders":
+        split_dir = os.path.join(args.input_dir, args.split)
+        if not os.path.isdir(split_dir):
+            p.error(f"--input_dir/--split: {split_dir!r} is not a directory "
+                    "(expected layout: <input_dir>/<split>/<class_name>/*.jpg)")
+        classes = sorted(d for d in os.listdir(split_dir)
+                         if os.path.isdir(os.path.join(split_dir, d)))
+        if not classes:
+            p.error(f"no class subdirectories under {split_dir!r}")
+        offset = resolve_label_offset(args.dataset, args.label_offset,
+                                      len(classes))
+        items, classes = collect_images(split_dir, label_offset=offset)
+    else:
+        if args.layout == "food101":
+            items, classes = collect_food101(args.input_dir, args.split)
+        elif args.layout == "cub200":
+            items, classes = collect_cub200(args.input_dir, args.split)
+        else:  # imagenet_val
+            if not args.val_labels:
+                p.error("--layout=imagenet_val requires --val_labels")
+            items = collect_imagenet_val(args.input_dir, args.val_labels)
+            classes = [str(i) for i in
+                       range(1 + max((l for _, l, _ in items), default=-1))]
+        offset = resolve_label_offset(args.dataset, args.label_offset,
+                                      len(classes))
+        if offset:
+            items = [(path, label + offset, cls) for path, label, cls in items]
     prefix = args.prefix or ("validation" if args.split.startswith("val") else args.split)
-    items, classes = collect_images(split_dir, label_offset=offset)
     n = write_shards(items, args.output_dir, prefix, args.num_shards,
                      shuffle_seed=0 if args.split == "train" else None)
     print(f"wrote {n} examples / {len(classes)} classes "

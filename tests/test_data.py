@@ -401,3 +401,101 @@ def test_build_tfrecords_bad_input_dir_clean_error(tmp_path, capsys):
                     f"--output_dir={tmp_path / 'out'}", "--split=train"])
     assert e.value.code == 2
     assert "is not a directory" in capsys.readouterr().err
+
+
+class TestDatasetLayouts:
+    """build_tfrecords --layout variants (the reference's converter lineage
+    beyond plain class folders): published Food-101 / CUB-200-2011 archive
+    layouts and the flat ILSVRC validation layout."""
+
+    @staticmethod
+    def _jpg(path, rng):
+        from PIL import Image as _Image
+
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        _Image.fromarray(rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+                         ).save(path, "JPEG")
+
+    @staticmethod
+    def _read_labels(out_dir, prefix):
+        from axcnn.data.tfrecord import TFRecordReader, parse_example
+
+        got = []
+        for fn in sorted(os.listdir(out_dir)):
+            if not fn.startswith(prefix):
+                continue
+            for rec in TFRecordReader(os.path.join(out_dir, fn)):
+                ex = parse_example(rec)
+                got.append((ex["image/class/label"][0],
+                            ex["image/class/text"][0].decode()))
+        return got
+
+    def test_food101_layout(self, tmp_path):
+        from axcnn.data.build_tfrecords import main as build_main
+
+        rng = np.random.default_rng(0)
+        root = tmp_path / "f101"
+        entries = {"train": ["pie/001", "pie/002", "soup/001"],
+                   "test": ["pie/003", "soup/002"]}
+        os.makedirs(root / "meta", exist_ok=True)
+        for split, es in entries.items():
+            (root / "meta" / f"{split}.txt").write_text("\n".join(es) + "\n")
+            for e in es:
+                self._jpg(str(root / "images" / (e + ".jpg")), rng)
+        out = tmp_path / "out"
+        build_main([f"--input_dir={root}", f"--output_dir={out}",
+                    "--layout=food101", "--split=train", "--num_shards=1"])
+        got = sorted(self._read_labels(str(out), "train"))
+        # classes sorted: pie=0, soup=1
+        assert got == [(0, "pie"), (0, "pie"), (1, "soup")]
+
+    def test_cub200_layout(self, tmp_path):
+        from axcnn.data.build_tfrecords import main as build_main
+
+        rng = np.random.default_rng(1)
+        root = tmp_path / "cub"
+        os.makedirs(root, exist_ok=True)
+        (root / "classes.txt").write_text("1 001.Crow\n2 002.Finch\n")
+        (root / "images.txt").write_text(
+            "1 001.Crow/a.jpg\n2 001.Crow/b.jpg\n3 002.Finch/c.jpg\n")
+        (root / "image_class_labels.txt").write_text("1 1\n2 1\n3 2\n")
+        (root / "train_test_split.txt").write_text("1 1\n2 0\n3 1\n")
+        for rel in ("001.Crow/a.jpg", "001.Crow/b.jpg", "002.Finch/c.jpg"):
+            self._jpg(str(root / "images" / rel), rng)
+        out = tmp_path / "out"
+        build_main([f"--input_dir={root}", f"--output_dir={out}",
+                    "--layout=cub200", "--split=train", "--num_shards=1"])
+        got = sorted(self._read_labels(str(out), "train"))
+        assert got == [(0, "001.Crow"), (1, "002.Finch")]
+        build_main([f"--input_dir={root}", f"--output_dir={out}",
+                    "--layout=cub200", "--split=test", "--num_shards=1",
+                    "--prefix=validation"])
+        assert self._read_labels(str(out), "validation") == [(0, "001.Crow")]
+
+    def test_imagenet_val_layout(self, tmp_path):
+        from axcnn.data.build_tfrecords import main as build_main
+
+        rng = np.random.default_rng(2)
+        root = tmp_path / "val"
+        for fn in ("ILSVRC_val_2.JPEG", "ILSVRC_val_1.JPEG"):
+            self._jpg(str(root / fn), rng)
+        labels = tmp_path / "gt.txt"
+        labels.write_text("7\n3\n")  # aligned to SORTED names: val_1->7, val_2->3
+        out = tmp_path / "out"
+        # imagenet registry: background class -> label_offset 1
+        build_main([f"--input_dir={root}", f"--output_dir={out}",
+                    "--layout=imagenet_val", f"--val_labels={labels}",
+                    "--dataset=imagenet", "--split=val", "--num_shards=1"])
+        got = {lab for lab, _ in self._read_labels(str(out), "validation")}
+        assert got == {8, 4}  # 0-based file labels + background offset 1
+
+    def test_imagenet_val_count_mismatch(self, tmp_path):
+        from axcnn.data.build_tfrecords import collect_imagenet_val
+
+        rng = np.random.default_rng(3)
+        root = tmp_path / "val"
+        self._jpg(str(root / "a.JPEG"), rng)
+        labels = tmp_path / "gt.txt"
+        labels.write_text("1\n2\n")
+        with pytest.raises(ValueError, match="2 labels"):
+            collect_imagenet_val(str(root), str(labels))
