@@ -64,12 +64,24 @@ def write_shards(items, output_dir: str, prefix: str, num_shards: int, *,
 
 def collect_food101(root: str, split: str):
     """Published Food-101 archive layout: ``images/<class>/<id>.jpg`` +
-    ``meta/train.txt`` / ``meta/test.txt`` with ``<class>/<id>`` lines."""
-    meta = os.path.join(root, "meta",
-                        "train.txt" if split == "train" else "test.txt")
-    with open(meta) as f:
-        entries = [ln.strip() for ln in f if ln.strip()]
-    classes = sorted({e.split("/")[0] for e in entries})
+    ``meta/train.txt`` / ``meta/test.txt`` with ``<class>/<id>`` lines.
+
+    The label<->class mapping comes from ``meta/classes.txt`` (part of the
+    published archive) or, failing that, the UNION of both split files —
+    never from one split's own entries, which would silently shift indices
+    between train and test if a class is missing from either."""
+    def read_lines(name):
+        with open(os.path.join(root, "meta", name)) as f:
+            return [ln.strip() for ln in f if ln.strip()]
+
+    entries = read_lines("train.txt" if split == "train" else "test.txt")
+    classes_file = os.path.join(root, "meta", "classes.txt")
+    if os.path.exists(classes_file):
+        classes = read_lines("classes.txt")
+    else:
+        both = entries + read_lines(
+            "test.txt" if split == "train" else "train.txt")
+        classes = sorted({e.split("/")[0] for e in both})
     index = {c: i for i, c in enumerate(classes)}
     items = [(os.path.join(root, "images", e + ".jpg"), index[e.split("/")[0]],
               e.split("/")[0]) for e in entries]
@@ -191,7 +203,13 @@ def main(argv=None):
                                       len(classes))
         if offset:
             items = [(path, label + offset, cls) for path, label, cls in items]
-    prefix = args.prefix or ("validation" if args.split.startswith("val") else args.split)
+    # default shard prefix must be what the loader globs
+    # (DatasetInfo.eval_prefix == 'validation'): the FGVC archives name their
+    # eval split 'test', imagenet_val is an eval split by definition
+    is_eval = (args.split.startswith("val") or args.layout == "imagenet_val"
+               or (args.layout in ("food101", "cub200")
+                   and args.split != "train"))
+    prefix = args.prefix or ("validation" if is_eval else args.split)
     n = write_shards(items, args.output_dir, prefix, args.num_shards,
                      shuffle_seed=0 if args.split == "train" else None)
     print(f"wrote {n} examples / {len(classes)} classes "

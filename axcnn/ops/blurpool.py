@@ -52,7 +52,9 @@ def blur_pool(x, *, stride: int = 2, filter_size: int = 3):
         from axcnn.pallas.blurpool import blurpool_supported, blur_pool_pallas_grad
 
         if blurpool_supported(x, stride=stride, filter_size=filter_size):
-            return blur_pool_pallas_grad(x)
+            # same residual tag as the XLA path so remat='conv' saves the
+            # stride-2 output regardless of dispatch mode
+            return checkpoint_name(blur_pool_pallas_grad(x), "conv_out")
     c = x.shape[-1]
     k = jnp.asarray(blur_kernel(filter_size), x.dtype)
     # depthwise HWIO with feature_group_count=C: (H, W, 1, C)

@@ -25,6 +25,18 @@ from jax.sharding import Mesh, PartitionSpec as P, NamedSharding
 
 DATA_AXIS = "data"
 
+# XLA:CPU in-process collectives ship a 40 s rendezvous termination timeout;
+# on a 1-core host running many virtual devices, a large program's
+# per-device threads reach the first collective staggered past it (fatal
+# crash — measured with the R152+KD dryrun). Pass as per-compile
+# ``compiler_options`` for big programs on virtual CPU meshes; other
+# backends ignore the xla_cpu_* fields. (The XLA_FLAGS spelling differs —
+# use compiler_options, which also works when JAX is already initialized.)
+CPU_COLLECTIVE_TIMEOUT_OPTIONS = {
+    "xla_cpu_collective_call_warn_stuck_seconds": "300",
+    "xla_cpu_collective_call_terminate_timeout_seconds": "1800",
+}
+
 
 def make_mesh(num_devices: int = 0, *, devices=None) -> Mesh:
     """1-D data-parallel mesh over the first ``num_devices`` devices

@@ -234,6 +234,7 @@ def run(cfg: Config):
     dp_shards = n_dev // spatial
     use_mesh = n_dev > 1 and spatial == 1
     mesh = make_mesh(n_dev) if use_mesh else None
+    active_mesh = mesh  # replaced by the spatial mesh below when spatial > 1
     if cfg.train.batch_size % max(dp_shards, 1):
         raise ValueError(
             f"global batch {cfg.train.batch_size} not divisible by "
@@ -291,6 +292,7 @@ def run(cfg: Config):
         train_step_fn = spatial_train_step(train_step, smesh)
         eval_step_fn = spatial_eval_step(eval_step, smesh)
         batch_shd = spatial_batch_sharding(smesh)
+        active_mesh = smesh
     elif use_mesh:
         train_step_fn = shard_train_step(train_step, mesh)
         eval_step_fn = shard_eval_step(eval_step, mesh)
@@ -312,6 +314,15 @@ def run(cfg: Config):
         state, loader_state, _ = restored
         train_loader.state = loader_state
         logger.log("restore", int(state.step), epoch=loader_state.epoch)
+
+    if jax.process_count() > 1 and active_mesh is not None:
+        # multi-controller runs: the host-local state arrays must become a
+        # replicated GLOBAL array before entering the mesh-wide jit (same on
+        # every host by construction — seeded init / shared checkpoint)
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        state = jax.device_put(
+            state, NamedSharding(active_mesh, PartitionSpec()))
 
     def _maybe_export():
         if not cfg.runtime.export_dir:

@@ -93,7 +93,9 @@ class RuntimeConfig:
     num_devices: int = 0  # 0 = all visible
     # >1: shard the image H axis over this many chips per data shard
     # (axcnn/parallel/spatial.py — GSPMD halo exchange; for large-image
-    # work where one chip per image is not enough). Single-host only.
+    # work where one chip per image is not enough). Multi-host: must divide
+    # the per-host device count so each (data, spatial) mesh row stays on
+    # one host.
     spatial_partitions: int = 1
     profile_steps: int = 0  # >0: wrap N steps in jax.profiler.trace
     tensorboard: bool = False  # also write TB scalar summaries to <model_dir>/tb

@@ -41,7 +41,10 @@ def _texture(rng, kind):
         m = (xx // period) % 2 == 0
     else:  # checker
         m = ((yy // period) + (xx // period)) % 2 == 0
-    img[m] = np.minimum(img[m] + c, 255)
+    # widen before adding: uint8 addition wraps mod 256 BEFORE any clamp,
+    # which would turn bright stripes back into background-dark pixels
+    img[m] = np.minimum(img[m].astype(np.int32) + c.astype(np.int32),
+                        255).astype(np.uint8)
     return img
 
 

@@ -54,20 +54,20 @@ def measure(mode: str, batch_size: int):
     }
     key = jax.random.key(1)
 
-    compiled = jax.jit(step, donate_argnums=(0,)).lower(
+    step_fn = jax.jit(step, donate_argnums=(0,)).lower(
         state, batch, key).compile()
-    ca = compiled.cost_analysis()
+    ca = step_fn.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
     flops = float(ca.get("flops", float("nan")))
     gbytes = float(ca.get("bytes accessed", float("nan"))) / 1e9
     try:
-        mem = compiled.memory_analysis()
+        mem = step_fn.memory_analysis()
         temp_gb = float(mem.temp_size_in_bytes) / 1e9
     except Exception:
         temp_gb = float("nan")
 
-    step_fn = jax.jit(step, donate_argnums=(0,))
+    # time the SAME compiled executable (a fresh jax.jit would recompile)
     for _ in range(WARMUP):
         state, metrics = step_fn(state, batch, key)
     float(metrics["loss"])

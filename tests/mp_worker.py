@@ -15,8 +15,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import json
-import os
-import sys
 
 # 2 virtual devices per process (drop any inherited force flag, e.g. the
 # test conftest's =8 — duplicated flags are ambiguous)
@@ -81,10 +79,7 @@ def main():
     # with cold caches, lazy compile staggers the ranks by minutes on this
     # 1-core box and times out the Gloo collective (observed flake). The
     # raised in-process collective timeouts cover the intra-host legs.
-    timeouts = {
-        "xla_cpu_collective_call_warn_stuck_seconds": "300",
-        "xla_cpu_collective_call_terminate_timeout_seconds": "1800",
-    }
+    from axcnn.parallel.mesh import CPU_COLLECTIVE_TIMEOUT_OPTIONS as timeouts
     step_fn = shard_train_step(train_step, mesh).lower(
         state, first, jax.random.key(1)).compile(compiler_options=timeouts)
     losses = []

@@ -467,9 +467,10 @@ class TestDatasetLayouts:
                     "--layout=cub200", "--split=train", "--num_shards=1"])
         got = sorted(self._read_labels(str(out), "train"))
         assert got == [(0, "001.Crow"), (1, "002.Finch")]
+        # eval split of an FGVC layout defaults to the 'validation' prefix
+        # the loader globs (DatasetInfo.eval_prefix) — no --prefix needed
         build_main([f"--input_dir={root}", f"--output_dir={out}",
-                    "--layout=cub200", "--split=test", "--num_shards=1",
-                    "--prefix=validation"])
+                    "--layout=cub200", "--split=test", "--num_shards=1"])
         assert self._read_labels(str(out), "validation") == [(0, "001.Crow")]
 
     def test_imagenet_val_layout(self, tmp_path):
