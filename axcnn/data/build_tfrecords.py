@@ -176,6 +176,15 @@ def main(argv=None):
                         "class index per line aligned to sorted filenames")
     args = p.parse_args(argv)
 
+    if (args.dataset is None and args.label_offset is None
+            and args.layout in ("folders", "imagenet_val")):
+        # round-1's CLI defaulted to offset 1; deriving it silently from
+        # nothing would shift every ImageNet label by one with no error
+        # anywhere downstream — make the choice explicit
+        p.error("pass --dataset=<registry name> (derives the label offset) "
+                "or an explicit --label_offset (ImageNet's 1001-way "
+                "background-class head needs 1; exact-N-way heads need 0)")
+
     if args.layout == "folders":
         split_dir = os.path.join(args.input_dir, args.split)
         if not os.path.isdir(split_dir):

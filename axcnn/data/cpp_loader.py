@@ -54,17 +54,35 @@ def get_lib():
     so_path = os.environ.get("AXCNN_LOADER_SO", _SO_PATH)  # sanitizer builds
     if so_path == _SO_PATH and not os.path.exists(so_path):
         _build()
-    lib = ctypes.CDLL(so_path)
-    lib.axcnn_version.restype = ctypes.c_int
+
+    def _load(path, *, private_copy):
+        # dlopen a PRIVATE COPY of the default build output: a later rebuild
+        # rewrites the same inode the handle has mmapped (undefined behavior
+        # for any non-resident page), and glibc's path-based dedup would
+        # hand the stale cached handle back on re-CDLL. A fresh temp file
+        # sidesteps both.
+        if private_copy:
+            import shutil
+            import tempfile
+
+            fd, tmp = tempfile.mkstemp(prefix="axcnn_loader_", suffix=".so")
+            os.close(fd)
+            shutil.copy2(path, tmp)
+            path = tmp
+        handle = ctypes.CDLL(path)
+        handle.axcnn_version.restype = ctypes.c_int
+        return handle
+
+    lib = _load(so_path, private_copy=so_path == _SO_PATH)
     if lib.axcnn_version() != _ABI_VERSION:
         if so_path != _SO_PATH:
             raise RuntimeError(
                 f"{so_path} has loader ABI {lib.axcnn_version()}, expected "
                 f"{_ABI_VERSION} — rebuild it with cpp/build.sh")
-        # stale default build from an older checkout: rebuild in place
+        # stale default build from an older checkout: rebuild (safe — the
+        # live mapping is the private copy, not the build output)
         _build()
-        lib = ctypes.CDLL(so_path)
-        lib.axcnn_version.restype = ctypes.c_int
+        lib = _load(so_path, private_copy=True)
         if lib.axcnn_version() != _ABI_VERSION:
             raise RuntimeError("rebuilt loader still reports wrong ABI "
                                f"({lib.axcnn_version()} != {_ABI_VERSION})")

@@ -178,6 +178,15 @@ class TFRecordImageLoader:
             # as zeros/label -1: re-decode those slots via the PIL path, which
             # handles every format — and raises loudly if the record is truly
             # corrupt instead of training on zero images
+            if self._dct_fast:
+                # the PIL fallback always decodes INTEGER_ACCURATE — silently
+                # mixing it into an INTEGER_FAST run is exactly the pixel
+                # divergence the dct_method guards exist to prevent
+                raise ValueError(
+                    f"{len(items) - ok} record(s) the native JDCT_IFAST "
+                    "decoder cannot handle (non-JPEG or corrupt); the PIL "
+                    "fallback would decode INTEGER_ACCURATE — rebuild the "
+                    "records as JPEG or use dct_method=INTEGER_ACCURATE")
             for i in np.flatnonzero(labels == -1):
                 img, label = self._prepare(items[i][0],
                                            (self._seed, epoch, int(items[i][1])))
@@ -241,6 +250,12 @@ class TFRecordImageLoader:
                     self.state = LoaderState(epoch, batch_idx)
                     yield self._check_labels(flush(pending))
             if not self._train:
+                # an eval loader is a stateless full pass: reset so the NEXT
+                # iteration replays the whole set (run() reuses one eval
+                # loader across periodic evals — leaving state at
+                # (0, num_batches) made every eval after the first skip
+                # everything and report empty metrics)
+                self.state = LoaderState(epoch=0, batches_yielded=0)
                 return
             epoch += 1
             skip = 0

@@ -90,7 +90,6 @@ def bench_compute():
     from axcnn.train.train_step import create_train_state, make_eval_step
 
     cfg = _model_cfg()
-    step_fn = jax.jit(_make_train_step(cfg), donate_argnums=(0,))
     state = create_train_state(jax.random.key(0), cfg, use_ema=True)
     rng = np.random.default_rng(0)
     batch = {
@@ -101,10 +100,11 @@ def bench_compute():
     }
     key = jax.random.key(1)
 
-    # XLA's own cost model for MFU / bandwidth accounting
-    compiled = jax.jit(_make_train_step(cfg), donate_argnums=(0,)).lower(
+    # ONE compile: the same AOT executable serves the cost model (XLA's own
+    # FLOP/byte accounting for MFU / bandwidth) and the timed loop
+    step_fn = jax.jit(_make_train_step(cfg), donate_argnums=(0,)).lower(
         state, batch, key).compile()
-    ca = compiled.cost_analysis()
+    ca = step_fn.cost_analysis()
     if isinstance(ca, list):
         ca = ca[0]
     flops = float(ca.get("flops", float("nan")))

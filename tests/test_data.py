@@ -240,6 +240,18 @@ class TestLoader:
         batches = list(loader)
         assert sum(b["labels"].shape[0] for b in batches) == 10
 
+    def test_eval_repeats_full_pass(self, tmp_path):
+        """run() reuses ONE eval loader across periodic evals: every pass
+        must replay the full set (regression: state was left at the end of
+        the pass, so the second+ evals skipped everything and reported
+        empty metrics)."""
+        data_dir, info = _make_dataset(tmp_path, n=10)
+        loader = TFRecordImageLoader(
+            data_dir, info, batch_size=4, train=False, image_size=32,
+            num_workers=2, drop_remainder=False)
+        for _ in range(3):
+            assert sum(b["labels"].shape[0] for b in iter(loader)) == 10
+
     def test_synthetic(self):
         loader = SyntheticLoader(batch_size=4, image_size=16, num_batches=3)
         batches = list(loader)
@@ -398,9 +410,17 @@ def test_build_tfrecords_bad_input_dir_clean_error(tmp_path, capsys):
 
     with _pytest.raises(SystemExit) as e:
         build_main([f"--input_dir={tmp_path / 'nope'}",
-                    f"--output_dir={tmp_path / 'out'}", "--split=train"])
+                    f"--output_dir={tmp_path / 'out'}", "--split=train",
+                    "--label_offset=0"])
     assert e.value.code == 2
     assert "is not a directory" in capsys.readouterr().err
+    # the label offset must be an explicit choice for folders/imagenet_val
+    # (regression: a silently-derived 0 would shift ImageNet's 1001-way
+    # labels by one with no downstream error)
+    with _pytest.raises(SystemExit):
+        build_main([f"--input_dir={tmp_path / 'nope'}",
+                    f"--output_dir={tmp_path / 'out'}", "--split=train"])
+    assert "--label_offset" in capsys.readouterr().err
 
 
 class TestDatasetLayouts:
