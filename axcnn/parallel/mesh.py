@@ -59,6 +59,25 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(DATA_AXIS))
 
 
+def replicate_to_mesh(tree, mesh: Mesh):
+    """Place a pytree replicated over ``mesh`` (any axis set).
+
+    Multi-process: built with ``make_array_from_process_local_data`` — a
+    purely LOCAL construction — instead of ``jax.device_put``, whose
+    multihost path first runs ``multihost_utils.assert_equal`` (an
+    allgather of the entire tree) as a cross-host collective; with ranks
+    staggered in compilation that check can exceed the collective timeout
+    and kill the run (observed). The values are equal on every host by
+    construction here (seeded init / shared checkpoint).
+    """
+    sharding = NamedSharding(mesh, P())
+    if jax.process_count() == 1:
+        return jax.device_put(tree, sharding)
+    return jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            sharding, np.asarray(x)), tree)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

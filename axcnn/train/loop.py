@@ -318,11 +318,11 @@ def run(cfg: Config):
     if jax.process_count() > 1 and active_mesh is not None:
         # multi-controller runs: the host-local state arrays must become a
         # replicated GLOBAL array before entering the mesh-wide jit (same on
-        # every host by construction — seeded init / shared checkpoint)
-        from jax.sharding import NamedSharding, PartitionSpec
+        # every host by construction — seeded init / shared checkpoint);
+        # replicate_to_mesh avoids device_put's cross-host assert collective
+        from axcnn.parallel.mesh import replicate_to_mesh
 
-        state = jax.device_put(
-            state, NamedSharding(active_mesh, PartitionSpec()))
+        state = replicate_to_mesh(state, active_mesh)
 
     def _maybe_export():
         if not cfg.runtime.export_dir:

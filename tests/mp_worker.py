@@ -37,6 +37,18 @@ def main():
     assert jax.process_count() == nprocs
     assert jax.device_count() == 2 * nprocs
 
+    def barrier(name, timeout_ms=900_000):
+        # coordination-service barrier (NOT a Gloo collective): ranks can
+        # arrive minutes apart without tripping any transport deadline.
+        # Needed because Gloo context init has a hard 30 s key-exchange
+        # timeout, and per-rank compile-cache asymmetry (one rank warm, the
+        # other cold) was measured to stagger the ranks ~5 minutes at the
+        # first collective. Internal API, acceptable in a test worker.
+        from jax._src import distributed
+
+        if distributed.global_state.client is not None:
+            distributed.global_state.client.wait_at_barrier(name, timeout_ms)
+
     import numpy as np
 
     from axcnn.core.dtypes import BF16_POLICY
@@ -44,7 +56,8 @@ def main():
     from axcnn.data.pipeline import TFRecordImageLoader, device_prefetch
     from axcnn.models.resnet import ModelConfig
     from axcnn.parallel.mesh import (
-        make_mesh, shard_train_step, shard_eval_step, batch_sharding, DATA_AXIS)
+        make_mesh, shard_train_step, shard_eval_step, batch_sharding,
+        replicate_to_mesh, DATA_AXIS)
     from axcnn.train.loop import evaluate
     from axcnn.train.schedules import make_lr_schedule
     from axcnn.train.train_step import (
@@ -68,8 +81,7 @@ def main():
         total_steps=10, policy=BF16_POLICY, label_smoothing=0.1,
         mixup_alpha=0.2, weight_decay=1e-4, use_ema=True, axis_name=DATA_AXIS)
     state = create_train_state(jax.random.key(0), cfg, use_ema=True)
-    state = jax.device_put(state, jax.sharding.NamedSharding(
-        mesh, jax.sharding.PartitionSpec()))
+    state = replicate_to_mesh(state, mesh)  # no cross-host assert collective
 
     it = device_prefetch(iter(train_loader), size=1,
                          sharding=batch_sharding(mesh))
@@ -82,6 +94,7 @@ def main():
     from axcnn.parallel.mesh import CPU_COLLECTIVE_TIMEOUT_OPTIONS as timeouts
     step_fn = shard_train_step(train_step, mesh).lower(
         state, first, jax.random.key(1)).compile(compiler_options=timeouts)
+    barrier("dp_compiled")
     losses = []
     batch = first
     for i in range(2):
@@ -98,7 +111,17 @@ def main():
         data_dir, info, batch_size=local_bs, train=False, image_size=32,
         num_workers=2, host_id=pid, num_hosts=nprocs, drop_remainder=False)
     eval_step = make_eval_step(cfg, policy=BF16_POLICY)
-    eval_fn = shard_eval_step(eval_step, mesh)
+    sample = {"images": np.zeros((local_bs, 32, 32, 3), np.uint8),
+              "labels": -np.ones((local_bs,), np.int32)}
+    # assemble the GLOBAL batch from the per-host shard, exactly like the
+    # prefetcher does (device_put would treat the local array as the whole
+    # global value and compile for the wrong shape)
+    sample = jax.tree.map(
+        lambda x: jax.make_array_from_process_local_data(
+            batch_sharding(mesh), x), sample)
+    eval_fn = shard_eval_step(eval_step, mesh).lower(
+        state, sample).compile(compiler_options=timeouts)
+    barrier("eval_compiled")
     metrics = evaluate(eval_fn, state, eval_loader, batch_size=local_bs,
                        mesh=mesh, prefetch=1)
 
@@ -118,8 +141,7 @@ def main():
         total_steps=10, policy=BF16_POLICY, label_smoothing=0.1,
         mixup_alpha=0.2, weight_decay=1e-4, use_ema=True, axis_name=None)
     sp_state = create_train_state(jax.random.key(0), cfg, use_ema=True)
-    sp_state = jax.device_put(sp_state, jax.sharding.NamedSharding(
-        smesh, jax.sharding.PartitionSpec()))
+    sp_state = replicate_to_mesh(sp_state, smesh)
     sp_loader = TFRecordImageLoader(
         data_dir, info, batch_size=local_bs, train=True, image_size=32,
         seed=5, num_workers=2, host_id=pid, num_hosts=nprocs)
@@ -129,6 +151,7 @@ def main():
     sp_fn = spatial_train_step(sp_step, smesh).lower(
         sp_state, sp_batch, jax.random.key(2)).compile(
         compiler_options=timeouts)  # AOT: see the DP phase note
+    barrier("spatial_compiled")
     sp_state, sp_metrics = sp_fn(sp_state, sp_batch, jax.random.key(2))
     sp_loss = float(jax.device_get(sp_metrics["loss"]))
     assert np.isfinite(sp_loss), sp_loss
