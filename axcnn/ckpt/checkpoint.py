@@ -16,6 +16,7 @@ BASELINE.json — ``axcnn.ckpt.tf_import`` maps the reference's
 
 from __future__ import annotations
 
+import json
 import os
 
 import jax
@@ -28,9 +29,17 @@ from axcnn.train.train_step import TrainState
 
 class CheckpointManager:
     def __init__(self, directory: str, *, max_to_keep: int = 5,
-                 save_interval_steps: int = 1):
+                 save_interval_steps: int = 1,
+                 model_config: dict | None = None):
         self._dir = os.path.abspath(directory)
         os.makedirs(self._dir, exist_ok=True)
+        if model_config is not None and jax.process_index() == 0:
+            # architecture sidecar: lets a later run (e.g. KD teacher loading,
+            # loop._load_teacher) rebuild this checkpoint's exact model
+            # structure without guessing flags — the reference encodes this
+            # only implicitly in the recipe script that produced the ckpt
+            with open(os.path.join(self._dir, "model_config.json"), "w") as f:
+                json.dump(model_config, f, indent=1, default=str)
         self._mgr = ocp.CheckpointManager(
             self._dir,
             options=ocp.CheckpointManagerOptions(
@@ -56,6 +65,15 @@ class CheckpointManager:
             payload["ema"] = state.ema
         self._mgr.save(step, args=ocp.args.StandardSave(payload), force=force)
         return step
+
+    def model_config(self) -> dict | None:
+        """The architecture sidecar written by the producing run, or None
+        (pre-sidecar checkpoints)."""
+        path = os.path.join(self._dir, "model_config.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return json.load(f)
 
     def wait(self):
         self._mgr.wait_until_finished()

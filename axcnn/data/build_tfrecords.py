@@ -114,11 +114,16 @@ def collect_cub200(root: str, split: str):
     return items, classes
 
 
-def collect_imagenet_val(root: str, labels_file: str):
+def collect_imagenet_val(root: str, labels_file: str, *, base=None):
     """Flat ILSVRC validation layout: JPEGs in one directory + a labels file
-    with one 0-based class index per line, aligned to the LEXICOGRAPHICALLY
-    SORTED filenames (the devkit ground-truth convention; subtract 1 first
-    if your file is 1-based)."""
+    with one class index per line, aligned to the LEXICOGRAPHICALLY SORTED
+    filenames (the devkit ground-truth convention).
+
+    ``base``: 0 or 1 = the labels file's numbering base (the raw devkit file
+    is 1-based). ``None`` assumes 0-based but REFUSES a file whose minimum
+    label is >= 1: that is what an unconverted devkit file looks like, and on
+    a subset missing the last class it would pass every downstream range
+    check while silently shifting every label by one."""
     files = sorted(f for f in os.listdir(root)
                    if f.lower().endswith(IMAGE_EXTS))
     with open(labels_file) as f:
@@ -127,7 +132,21 @@ def collect_imagenet_val(root: str, labels_file: str):
         raise ValueError(
             f"{len(labels)} labels in {labels_file} but {len(files)} images "
             f"in {root}")
-    return [(os.path.join(root, fn), lab, str(lab))
+    if base is None:
+        if labels and min(labels) >= 1:
+            raise ValueError(
+                f"no 0 label anywhere in {labels_file} (min={min(labels)}) — "
+                "this looks like a 1-based devkit ground-truth file. Pass "
+                "--val_labels_base=1 to convert it, or --val_labels_base=0 "
+                "to assert the file really is 0-based")
+        base = 0
+    elif base not in (0, 1):
+        raise ValueError(f"base must be 0 or 1, got {base}")
+    if labels and min(labels) - base < 0:
+        raise ValueError(
+            f"label {min(labels)} in {labels_file} is negative under "
+            f"base={base}")
+    return [(os.path.join(root, fn), lab - base, str(lab - base))
             for fn, lab in zip(files, labels)]
 
 
@@ -172,8 +191,13 @@ def main(argv=None):
                         "'cub200' = CUB-200-2011 (images.txt etc.); "
                         "'imagenet_val' = flat JPEG dir + --val_labels")
     p.add_argument("--val_labels", default="",
-                   help="imagenet_val layout: ground-truth file, one 0-based "
-                        "class index per line aligned to sorted filenames")
+                   help="imagenet_val layout: ground-truth file, one class "
+                        "index per line aligned to sorted filenames")
+    p.add_argument("--val_labels_base", type=int, default=None,
+                   choices=(0, 1),
+                   help="numbering base of --val_labels (raw devkit files "
+                        "are 1-based). Default: assume 0-based but refuse a "
+                        "file with no 0 label anywhere")
     args = p.parse_args(argv)
 
     if (args.dataset is None and args.label_offset is None
@@ -205,7 +229,8 @@ def main(argv=None):
         else:  # imagenet_val
             if not args.val_labels:
                 p.error("--layout=imagenet_val requires --val_labels")
-            items = collect_imagenet_val(args.input_dir, args.val_labels)
+            items = collect_imagenet_val(args.input_dir, args.val_labels,
+                                         base=args.val_labels_base)
             classes = [str(i) for i in
                        range(1 + max((l for _, l, _ in items), default=-1))]
         offset = resolve_label_offset(args.dataset, args.label_offset,

@@ -61,6 +61,7 @@ def get_lib():
         # for any non-resident page), and glibc's path-based dedup would
         # hand the stale cached handle back on re-CDLL. A fresh temp file
         # sidesteps both.
+        tmp = None
         if private_copy:
             import shutil
             import tempfile
@@ -70,6 +71,11 @@ def get_lib():
             shutil.copy2(path, tmp)
             path = tmp
         handle = ctypes.CDLL(path)
+        if tmp is not None:
+            # POSIX keeps the mapping valid after unlink; deleting now means
+            # no axcnn_loader_*.so accumulates in the temp dir across
+            # processes / test workers
+            os.unlink(tmp)
         handle.axcnn_version.restype = ctypes.c_int
         return handle
 

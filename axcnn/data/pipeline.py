@@ -114,6 +114,7 @@ class TFRecordImageLoader:
                 "decode path (it maps to libjpeg JDCT_IFAST); this "
                 "configuration fell back to PIL")
         self.state = LoaderState(epoch=0, batches_yielded=0)
+        self._num_batches = None  # framing-scan result; shards are immutable
 
     @property
     def image_size(self) -> int:
@@ -121,10 +122,15 @@ class TFRecordImageLoader:
 
     def num_batches(self) -> int:
         """Batches per epoch for THIS host's shard subset (framing scan, no
-        decode). Multi-host eval uses this to agree on a global batch count —
-        hosts with fewer records pad, so the per-batch psum never deadlocks."""
-        n = sum(count_records(p) for p in self._shards)
-        return n // self._bs if self._drop_remainder else -(-n // self._bs)
+        decode; cached — shard files are immutable, and multi-host eval calls
+        this every eval cycle). Multi-host eval uses this to agree on a global
+        batch count — hosts with fewer records pad, so the per-batch psum
+        never deadlocks."""
+        if self._num_batches is None:
+            n = sum(count_records(p) for p in self._shards)
+            self._num_batches = (n // self._bs if self._drop_remainder
+                                 else -(-n // self._bs))
+        return self._num_batches
 
     # -- deterministic record stream for (seed, epoch) ----------------------
     def _record_stream(self, epoch: int):
@@ -210,6 +216,12 @@ class TFRecordImageLoader:
         return batch
 
     def __iter__(self):
+        if not self._train:
+            # an eval pass is stateless: always start from the top, even if a
+            # previous iteration was abandoned mid-pass (exception / consumer
+            # break) — a mid-pass state left behind would silently skip the
+            # already-yielded batches and undercount the next eval's metrics
+            self.state = LoaderState(epoch=0, batches_yielded=0)
         epoch = self.state.epoch
         skip = self.state.batches_yielded  # deterministic resume
         while True:

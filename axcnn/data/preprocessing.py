@@ -99,10 +99,18 @@ def preprocess_eval(
     image_size: int = IMAGE_SIZE,
     resize_min: int = RESIZE_MIN,
 ) -> np.ndarray:
-    """Resize shorter side to ``resize_min``, central crop. Returns uint8 HWC."""
+    """Resize shorter side to ``resize_min``, central crop. Returns uint8 HWC.
+
+    When ``resize_min == image_size`` and the stored image is already exactly
+    ``image_size`` square, the pixels pass through untouched — the ImageNet-C
+    protocol evaluates the STORED corrupted pixels (224x224 in the standard
+    distribution), and even a scale-1.0 resample could perturb them."""
     img = Image.open(io.BytesIO(image_bytes))
     if img.mode != "RGB":
         img = img.convert("RGB")
+    if (resize_min == image_size and img.width == image_size
+            and img.height == image_size):
+        return np.asarray(img, np.uint8)
     scale = resize_min / min(img.width, img.height)
     nw, nh = int(round(img.width * scale)), int(round(img.height * scale))
     img = img.resize((nw, nh), Image.BILINEAR)

@@ -7,8 +7,11 @@ normalized by AlexNet's published error; mCE = mean CE over corruptions.
 
 Expected layout: ``<data_dir>/<corruption>/<severity>/validation-*`` TFRecord
 shards (same Example schema as ImageNet val). Images are already corrupted at
-224x224 in the standard distribution, so eval preprocessing resizes/crops
-identically to clean eval.
+224x224 in the standard distribution, and the protocol evaluates those STORED
+pixels — so the loaders here run with ``resize_min == image_size``, which
+short-circuits resize/crop entirely for images already at the target size
+(see preprocess_eval). Clean-eval preprocessing (resize-256 → crop-224) would
+resample the corrupted pixels and shift mCE.
 """
 
 from __future__ import annotations
@@ -90,7 +93,9 @@ def run_imagenet_c(cfg):
                 continue
             loader = TFRecordImageLoader(
                 d, info, batch_size=cfg.train.batch_size, train=False,
-                image_size=cfg.data.image_size, drop_remainder=False,
+                image_size=cfg.data.image_size,
+                resize_min=cfg.data.image_size,  # evaluate stored pixels
+                drop_remainder=False,
                 num_workers=cfg.data.num_workers,
                 host_id=jax.process_index(), num_hosts=jax.process_count())
             m = evaluate(eval_step_fn, state, loader,

@@ -40,7 +40,15 @@ def set_pallas_mode(mode: str) -> None:
     global _mode
     if mode not in _VALID:
         raise ValueError(f"pallas mode must be one of {_VALID}, got {mode!r}")
+    if mode == _mode:
+        return
     _mode = mode
+    # the mode is trace-time state that is NOT part of any jitted function's
+    # cache key: a function traced under the old mode would silently keep its
+    # old kernel choice. Dropping the caches forces a retrace at next call.
+    import jax
+
+    jax.clear_caches()
 
 
 def pallas_mode() -> str:

@@ -37,6 +37,36 @@ DATA_AXIS = "data"
 SPATIAL_AXIS = "spatial"
 
 
+def order_spatial_devices(devices, spatial: int, data: int = 0) -> np.ndarray:
+    """Arrange devices into the (data, spatial) grid, host-contiguous rows.
+
+    ``jax.devices()`` order is NOT guaranteed process-contiguous on a
+    multi-host slice, but every spatial row must live on ONE host: the halo
+    exchange is nearest-neighbor traffic that should ride ICI, and
+    ``make_array_from_process_local_data`` requires each host's local batch
+    rows to cover its addressable devices. Sorting by (process_index, id)
+    makes rows process-local whenever ``spatial`` divides the per-host device
+    count (enforced in loop.py); a row that still spans hosts is an error,
+    not a silent DCN halo path.
+    """
+    devices = sorted(devices, key=lambda d: (d.process_index, d.id))
+    if spatial < 1:
+        raise ValueError(f"spatial must be >= 1, got {spatial}")
+    if len(devices) % spatial:
+        raise ValueError(
+            f"{len(devices)} devices not divisible by spatial={spatial}")
+    data = data or len(devices) // spatial
+    grid = np.array(devices[: data * spatial]).reshape(data, spatial)
+    for row in grid:
+        hosts = {d.process_index for d in row}
+        if len(hosts) > 1:
+            raise ValueError(
+                f"spatial row spans hosts {sorted(hosts)}: spatial={spatial} "
+                "must divide each host's local device count so halo exchange "
+                "stays on ICI")
+    return grid
+
+
 def make_spatial_mesh(spatial: int, data: int = 0, *, devices=None) -> Mesh:
     """(data, spatial) mesh. ``data=0`` uses all remaining visible devices.
 
@@ -45,14 +75,7 @@ def make_spatial_mesh(spatial: int, data: int = 0, *, devices=None) -> Mesh:
     adjacent shards should sit on ICI neighbors.
     """
     devices = list(devices if devices is not None else jax.devices())
-    if spatial < 1:
-        raise ValueError(f"spatial must be >= 1, got {spatial}")
-    if len(devices) % spatial:
-        raise ValueError(
-            f"{len(devices)} devices not divisible by spatial={spatial}")
-    data = data or len(devices) // spatial
-    devices = devices[: data * spatial]
-    return Mesh(np.array(devices).reshape(data, spatial),
+    return Mesh(order_spatial_devices(devices, spatial, data),
                 (DATA_AXIS, SPATIAL_AXIS))
 
 

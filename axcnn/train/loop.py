@@ -69,20 +69,57 @@ def _make_loaders(cfg: Config, info: DatasetInfo):
     return train_loader, eval_loader
 
 
+def _teacher_model_config(cfg: Config, meta: dict | None) -> ModelConfig:
+    """Resolve the KD teacher's architecture (SURVEY.md §2 item 14: the
+    reference exposes independent teacher arch flags).
+
+    Tiers: checkpoint ``model_config.json`` sidecar when present (covers
+    every structural knob incl. Big-Little / width multiplier), else inherit
+    the student's knobs; explicit ``train.kd_teacher_*`` flags override."""
+    import dataclasses
+
+    if meta is not None:
+        fields = {f.name for f in dataclasses.fields(ModelConfig)}
+        kw = {k: (tuple(v) if isinstance(v, list) else v)
+              for k, v in meta.items() if k in fields}
+        base = ModelConfig(**kw)
+        if base.num_classes != cfg.model.num_classes:
+            raise ValueError(
+                f"KD teacher checkpoint has a {base.num_classes}-way head "
+                f"but the student is {cfg.model.num_classes}-way — teacher "
+                "and student logits must align for the KL loss")
+    else:
+        base = cfg.model
+
+    def tri(raw: str, field: str):
+        if raw == "":
+            return {}
+        low = raw.lower()
+        if low not in ("true", "false", "1", "0", "yes", "no", "on", "off"):
+            raise ValueError(
+                f"train.kd_teacher_{field} must be ''/true/false, got {raw!r}")
+        return {field: low in ("true", "1", "yes", "on")}
+
+    over = {}
+    if cfg.train.kd_teacher_resnet_size:
+        over["resnet_size"] = cfg.train.kd_teacher_resnet_size
+    over.update(tri(cfg.train.kd_teacher_use_resnet_d, "use_resnet_d"))
+    over.update(tri(cfg.train.kd_teacher_use_se_block, "use_se_block"))
+    over.update(tri(cfg.train.kd_teacher_use_sk_block, "use_sk_block"))
+    if cfg.train.kd_teacher_anti_alias_type != "inherit":
+        over["anti_alias_type"] = cfg.train.kd_teacher_anti_alias_type
+    return dataclasses.replace(base, **over)
+
+
 def _load_teacher(cfg: Config):
     """Build the frozen KD teacher from a checkpoint (SURVEY.md §2 item 14)."""
     if not cfg.train.kd_teacher_checkpoint:
         return None
-    size = cfg.train.kd_teacher_resnet_size or cfg.model.resnet_size
-    t_cfg = ModelConfig(
-        resnet_size=size, num_classes=cfg.model.num_classes,
-        use_resnet_d=cfg.model.use_resnet_d, use_se_block=cfg.model.use_se_block,
-        use_sk_block=cfg.model.use_sk_block,
-        anti_alias_type=cfg.model.anti_alias_type)
+    mgr = CheckpointManager(cfg.train.kd_teacher_checkpoint)
+    t_cfg = _teacher_model_config(cfg, mgr.model_config())
     # abstract template (structure only): avoids eager init on device
     t_params, t_state = jax.eval_shape(
         lambda k: resnet_init(k, t_cfg), jax.random.key(0))
-    mgr = CheckpointManager(cfg.train.kd_teacher_checkpoint)
     template = TrainState(step=0, params=t_params, model_state=t_state,
                           velocity=t_params, ema=t_params)
     restored = mgr.restore(template)
@@ -308,7 +345,8 @@ def run(cfg: Config):
 
     ckpt = CheckpointManager(
         os.path.join(cfg.runtime.model_dir, "checkpoints"),
-        max_to_keep=cfg.runtime.keep_checkpoint_max)
+        max_to_keep=cfg.runtime.keep_checkpoint_max,
+        model_config=_dc.asdict(cfg.model))
     restored = ckpt.restore(state)
     if restored is not None:
         state, loader_state, _ = restored

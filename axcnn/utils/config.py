@@ -75,9 +75,19 @@ class TrainConfig:
     dtype: str = "bf16"  # bf16 | fp32  (reference: fp16|fp32 + loss_scale)
     seed: int = 42
     log_every: int = 100
-    # KD (reference: kd_temp + teacher checkpoint/arch flags)
+    # KD (reference: kd_temp + teacher checkpoint/arch flags). The teacher's
+    # architecture resolves in three tiers (loop._load_teacher): the
+    # checkpoint's model_config.json sidecar when present (full structural
+    # fidelity incl. Big-Little/width), else the student's knobs; the
+    # explicit kd_teacher_* flags below override either — so a
+    # differently-assembled teacher (e.g. vanilla R50 → assembled student)
+    # works, matching the reference's independent teacher arch flags.
     kd_teacher_checkpoint: str = ""
-    kd_teacher_resnet_size: int = 0  # 0 = same topology as student
+    kd_teacher_resnet_size: int = 0  # 0 = from ckpt sidecar, else student's
+    kd_teacher_use_resnet_d: str = ""     # '' auto | true | false
+    kd_teacher_use_se_block: str = ""     # '' auto | true | false
+    kd_teacher_use_sk_block: str = ""     # '' auto | true | false
+    kd_teacher_anti_alias_type: str = "inherit"  # inherit|none|sconv|proj|max
     kd_temp: float = 1.0
     kd_alpha: float = 1.0
     # fine-tune / warm start (reference: pretrained_model_checkpoint_path)

@@ -131,6 +131,20 @@ class TestPreprocessing:
         img = decode_jpeg(_jpeg_bytes(rng, (32, 16)))
         assert img.shape == (16, 32, 3)
 
+    def test_eval_stored_pixels_identity(self):
+        """ImageNet-C protocol: when resize_min == image_size and the stored
+        image is already image_size², the DECODED pixels must reach the model
+        bit-identical (no resample of pre-corrupted images)."""
+        rng = np.random.default_rng(1)
+        data = _jpeg_bytes(rng, (224, 224))
+        out = preprocess_eval(data, image_size=224, resize_min=224)
+        np.testing.assert_array_equal(out, decode_jpeg(data))
+        # a non-square input under resize_min == image_size still gets the
+        # shorter-side resize + center crop (not the identity shortcut)
+        out2 = preprocess_eval(_jpeg_bytes(rng, (320, 224)), image_size=224,
+                               resize_min=224)
+        assert out2.shape == (224, 224, 3)
+
 
 class TestAutoAugment:
     def test_all_ops_run(self):
@@ -251,6 +265,34 @@ class TestLoader:
             num_workers=2, drop_remainder=False)
         for _ in range(3):
             assert sum(b["labels"].shape[0] for b in iter(loader)) == 10
+
+    def test_eval_abandoned_pass_restarts(self, tmp_path):
+        """An eval iteration abandoned mid-pass (consumer break / exception)
+        must not make the NEXT pass skip the already-yielded batches."""
+        data_dir, info = _make_dataset(tmp_path, n=10)
+        loader = TFRecordImageLoader(
+            data_dir, info, batch_size=4, train=False, image_size=32,
+            num_workers=2, drop_remainder=False)
+        it = iter(loader)
+        next(it)  # abandon after one batch
+        del it
+        assert sum(b["labels"].shape[0] for b in iter(loader)) == 10
+
+    def test_num_batches_cached(self, tmp_path):
+        data_dir, info = _make_dataset(tmp_path, n=10)
+        loader = TFRecordImageLoader(
+            data_dir, info, batch_size=4, train=False, image_size=32,
+            num_workers=2, drop_remainder=False)
+        n1 = loader.num_batches()
+        # second call must serve the cache, not re-scan the shard framing
+        import axcnn.data.pipeline as pl
+        orig = pl.count_records
+        pl.count_records = lambda p: (_ for _ in ()).throw(
+            AssertionError("re-scanned"))
+        try:
+            assert loader.num_batches() == n1 == 3
+        finally:
+            pl.count_records = orig
 
     def test_synthetic(self):
         loader = SyntheticLoader(batch_size=4, image_size=16, num_batches=3)
@@ -503,12 +545,38 @@ class TestDatasetLayouts:
         labels = tmp_path / "gt.txt"
         labels.write_text("7\n3\n")  # aligned to SORTED names: val_1->7, val_2->3
         out = tmp_path / "out"
-        # imagenet registry: background class -> label_offset 1
+        # imagenet registry: background class -> label_offset 1. The file has
+        # no 0 label (a subset), so the 0-based claim must be explicit.
         build_main([f"--input_dir={root}", f"--output_dir={out}",
                     "--layout=imagenet_val", f"--val_labels={labels}",
+                    "--val_labels_base=0",
                     "--dataset=imagenet", "--split=val", "--num_shards=1"])
         got = {lab for lab, _ in self._read_labels(str(out), "validation")}
         assert got == {8, 4}  # 0-based file labels + background offset 1
+
+    def test_imagenet_val_one_based_detection(self, tmp_path):
+        """An unconverted 1-based devkit ground-truth file must be refused
+        (not silently shifted) when no --val_labels_base is given; base=1
+        converts it."""
+        from axcnn.data.build_tfrecords import collect_imagenet_val
+
+        rng = np.random.default_rng(5)
+        root = tmp_path / "val"
+        for fn in ("a.JPEG", "b.JPEG"):
+            self._jpg(str(root / fn), rng)
+        labels = tmp_path / "gt.txt"
+        labels.write_text("7\n3\n")  # min >= 1: likely 1-based
+        with pytest.raises(ValueError, match="1-based"):
+            collect_imagenet_val(str(root), str(labels))
+        items = collect_imagenet_val(str(root), str(labels), base=1)
+        assert [lab for _, lab, _ in items] == [6, 2]
+        # a file containing a 0 is unambiguously 0-based: accepted as-is
+        labels.write_text("0\n3\n")
+        items = collect_imagenet_val(str(root), str(labels))
+        assert [lab for _, lab, _ in items] == [0, 3]
+        # ... and can't be 1-based
+        with pytest.raises(ValueError, match="negative"):
+            collect_imagenet_val(str(root), str(labels), base=1)
 
     def test_imagenet_val_count_mismatch(self, tmp_path):
         from axcnn.data.build_tfrecords import collect_imagenet_val

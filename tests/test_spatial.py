@@ -48,6 +48,14 @@ def _batch(n=8, size=64):
     }
 
 
+class _FakeDev:
+    def __init__(self, pid, did):
+        self.process_index, self.id = pid, did
+
+    def __repr__(self):
+        return f"dev(p{self.process_index},d{self.id})"
+
+
 class TestSpatialPartitioning:
     def test_mesh_shapes(self):
         mesh = make_spatial_mesh(2)
@@ -55,6 +63,26 @@ class TestSpatialPartitioning:
         assert mesh.axis_names == ("data", "spatial")
         with pytest.raises(ValueError):
             make_spatial_mesh(3)
+
+    def test_device_order_host_contiguous(self):
+        """jax.devices() order is not guaranteed process-contiguous on a real
+        multi-host slice: the grid builder must sort so each spatial row
+        lives on one host (halo on ICI, and the
+        make_array_from_process_local_data contract), and refuse a layout
+        where a row would span hosts."""
+        from axcnn.parallel.spatial import order_spatial_devices
+
+        # interleaved arrival order: p0,p1,p0,p1,... (2 hosts x 4 devices)
+        devs = [_FakeDev(i % 2, i) for i in range(8)]
+        grid = order_spatial_devices(devs, spatial=2)
+        assert grid.shape == (4, 2)
+        for row in grid:
+            assert len({d.process_index for d in row}) == 1
+        # spatial=4 still fits (4 devices/host); spatial=8 must span → error
+        for row in order_spatial_devices(devs, spatial=4):
+            assert len({d.process_index for d in row}) == 1
+        with pytest.raises(ValueError, match="spans hosts"):
+            order_spatial_devices(devs, spatial=8)
 
     def test_train_matches_unsharded(self):
         train, _ = _steps()
