@@ -128,21 +128,37 @@ def available() -> bool:
         return False
 
 
-def decode_batch(payloads: list[bytes], *, image_size: int, resize_min: int,
+def decode_batch(payloads, *, image_size: int, resize_min: int,
                  train: bool, seeds, num_threads: int = 8,
                  dct_fast: bool = False, aa_policy: int = -1):
     """Decode serialized Examples → (images uint8 [n,S,S,3], labels int32 [n],
     n_ok). Failed records get zeros/label=-1. ``aa_policy``: AutoAugment
-    policy id applied on the train path (see AA_POLICIES)."""
+    policy id applied on the train path (see AA_POLICIES).
+
+    Payloads may be ``bytes`` or read-only ``np.uint8`` views (the
+    MmapShardReader hot path) — either way the C++ side reads them IN PLACE:
+    no per-record copy is made here (the round-2 version memcpy'd every
+    payload through ``create_string_buffer``, a measured serial-section term
+    of the single producer thread)."""
     lib = get_lib()
     n = len(payloads)
     images = np.empty((n, image_size, image_size, 3), np.uint8)
     labels = np.empty((n,), np.int32)
-    # keep byte buffers alive and build pointer/size arrays
-    bufs = [ctypes.create_string_buffer(p, len(p)) for p in payloads]
-    ptrs = (ctypes.c_void_p * n)(*[ctypes.cast(b, ctypes.c_void_p) for b in bufs])
-    sizes = (ctypes.c_int64 * n)(*[len(p) for p in payloads])
-    seed_arr = (ctypes.c_uint64 * n)(*[int(s) & (2**64 - 1) for s in seeds])
+    if n and isinstance(payloads[0], np.ndarray):
+        # zero-copy views into the shard mmap
+        ptrs = (ctypes.c_void_p * n)(*[p.ctypes.data for p in payloads])
+        sizes = (ctypes.c_int64 * n)(*[p.size for p in payloads])
+    else:
+        # c_char_p array borrows each bytes object's buffer (no copy);
+        # `arr` keeps the references alive through the call
+        arr = (ctypes.c_char_p * n)(*payloads)
+        ptrs = ctypes.cast(arr, ctypes.POINTER(ctypes.c_void_p))
+        sizes = (ctypes.c_int64 * n)(*[len(p) for p in payloads])
+    if isinstance(seeds, np.ndarray) and seeds.dtype == np.uint64:
+        seed_np = np.ascontiguousarray(seeds)
+        seed_arr = seed_np.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+    else:
+        seed_arr = (ctypes.c_uint64 * n)(*[int(s) & (2**64 - 1) for s in seeds])
     ok = lib.axcnn_decode_batch(
         ptrs, sizes, n, image_size, resize_min, int(train), int(dct_fast),
         int(aa_policy), seed_arr,

@@ -32,10 +32,32 @@ import numpy as np
 from axcnn.data.datasets import DatasetInfo
 from axcnn.data.preprocessing import preprocess_train, preprocess_eval
 from axcnn.data.autoaugment import make_autoaugment
-from axcnn.data.tfrecord import (TFRecordReader, parse_example, list_shards,
-                                 count_records)
+from axcnn.data.tfrecord import (TFRecordReader, MmapShardReader,
+                                 parse_example, list_shards, count_records)
 
 LoaderState = collections.namedtuple("LoaderState", ["epoch", "batches_yielded"])
+
+
+def _splitmix64(z):
+    """Vectorized splitmix64 finalizer (uint64 in/out; wraparound is the
+    point of the hash, so the overflow warning is suppressed)."""
+    with np.errstate(over="ignore"):
+        z = np.asarray(z, np.uint64)
+        z = (z + np.uint64(0x9E3779B97F4A7C15))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _record_seeds(seed: int, epoch: int, idxs) -> np.ndarray:
+    """Per-record uint64 seeds for the native decoder, deterministic in
+    (seed, epoch, record_index). One vectorized hash per batch — the round-2
+    per-record ``np.random.SeedSequence`` construction was a measured
+    serial-section term of the producer thread (~8 us/record)."""
+    mix = (((seed & 0xFFFFFFFF) | 1) * 0x9E3779B97F4A7C15
+           + (epoch & 0xFFFFFFFF)) & (2**64 - 1)
+    base = _splitmix64(np.uint64(mix))
+    return _splitmix64(base + np.asarray(idxs, np.uint64))
 
 
 class TFRecordImageLoader:
@@ -136,11 +158,15 @@ class TFRecordImageLoader:
     def _record_stream(self, epoch: int):
         rng = np.random.default_rng((self._seed, epoch))
         shards = list(self._shards)
+        # native path: zero-copy np.uint8 views over the shard mmap (the C++
+        # decoder reads payloads in place; one unpack+slice of Python work
+        # per record). PIL path keeps bytes payloads (parse_example input).
+        reader = MmapShardReader if self._native else TFRecordReader
         if self._train:
             rng.shuffle(shards)
             buf = []
             for path in shards:
-                for payload in TFRecordReader(path):
+                for payload in reader(path):
                     buf.append(payload)
                     if len(buf) >= self._shuffle_buffer:
                         idx = int(rng.integers(0, len(buf)))
@@ -151,9 +177,11 @@ class TFRecordImageLoader:
             yield from buf
         else:
             for path in shards:
-                yield from TFRecordReader(path)
+                yield from reader(path)
 
-    def _prepare(self, payload: bytes, rng_seed):
+    def _prepare(self, payload, rng_seed):
+        if not isinstance(payload, bytes):  # mmap view (native-path fallback)
+            payload = bytes(payload)
         feats = parse_example(payload)
         image_bytes = feats["image/encoded"][0]
         label = int(feats["image/class/label"][0])
@@ -169,11 +197,7 @@ class TFRecordImageLoader:
 
     def _flush_native(self, items, epoch):
         payloads = [p for p, _ in items]
-        seeds = [
-            np.random.SeedSequence([self._seed, epoch, idx]).generate_state(
-                1, np.uint64)[0]
-            for _, idx in items
-        ]
+        seeds = _record_seeds(self._seed, epoch, [idx for _, idx in items])
         imgs, labels, ok = self._cpp.decode_batch(
             payloads, image_size=self._image_size, resize_min=self._resize_min,
             train=self._train, seeds=seeds, num_threads=self._workers,

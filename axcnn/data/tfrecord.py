@@ -20,6 +20,8 @@ import os
 import struct
 from typing import Iterator
 
+import numpy as np
+
 # ---------------------------------------------------------------------------
 # crc32c (Castagnoli), table-driven
 # ---------------------------------------------------------------------------
@@ -125,6 +127,38 @@ class TFRecordReader:
             self._f.close()
         except Exception:
             pass
+
+
+class MmapShardReader:
+    """Zero-copy record iteration: yields payloads as read-only ``np.uint8``
+    VIEWS over an mmap of the whole shard.
+
+    The hot-path companion of TFRecordReader for the native (C++) decode
+    pipeline: per record the Python side does one ``struct.unpack_from`` and
+    one array slice — no payload bytes are copied (the C++ loader reads the
+    JPEG straight out of the page cache via the view's pointer). Views keep
+    the mmap alive through numpy's base-object chain, so they can sit in the
+    shuffle buffer after the reader is gone.
+    """
+
+    def __init__(self, path: str):
+        import mmap as _mmap
+
+        self._path = path
+        with open(path, "rb") as f:
+            self._mm = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+        self._arr = np.frombuffer(self._mm, np.uint8)
+
+    def __iter__(self):
+        arr = self._arr
+        mm = self._mm
+        n = len(mm)
+        pos = 0
+        while pos + 8 <= n:
+            (length,) = struct.unpack_from("<Q", mm, pos)
+            start = pos + 12  # 8B length + 4B length-crc
+            yield arr[start:start + length]
+            pos = start + length + 4  # + payload crc
 
 
 def count_records(path: str) -> int:

@@ -25,12 +25,33 @@ Selectable via the ``AXCNN_PALLAS`` env var or :func:`set_pallas_mode`.
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
 import os
+import warnings
 
 _VALID = ("auto", "on", "off")
 _mode = os.environ.get("AXCNN_PALLAS", "auto")
 if _mode not in _VALID:
     raise ValueError(f"AXCNN_PALLAS must be one of {_VALID}, got {_mode!r}")
+
+# Trace-time override: inside a GSPMD-partitioned program (spatial
+# partitioning, axcnn/parallel/spatial.py) a ``pallas_call`` is a custom
+# call with NO SPMD partitioning rule — the partitioner would have to
+# replicate its operands (an all-gather of every H-sharded DropBlock input)
+# or fail outright. The spatial step builders wrap tracing in force_xla()
+# so `auto`/`on` can never route an op into that footgun silently.
+_force_xla: contextvars.ContextVar = contextvars.ContextVar(
+    "axcnn_force_xla", default="")
+
+
+@contextlib.contextmanager
+def force_xla(reason: str = "partitioned program"):
+    token = _force_xla.set(reason)
+    try:
+        yield
+    finally:
+        _force_xla.reset(token)
 
 # measured per-op auto defaults (see module docstring / docs/DESIGN.md)
 _AUTO_DEFAULTS = {"dropblock": True, "blurpool": False}
@@ -57,6 +78,13 @@ def pallas_mode() -> str:
 
 def use_pallas(op: str = "") -> bool:
     """Trace-time decision: should ``op`` take its Pallas kernel now?"""
+    reason = _force_xla.get()
+    if reason:
+        if _mode == "on":
+            warnings.warn(
+                f"AXCNN_PALLAS=on overridden for {op or 'op'}: {reason} "
+                "(pallas_call cannot be SPMD-partitioned)")
+        return False
     if _mode == "off":
         return False
     if _mode == "on":

@@ -91,6 +91,21 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _trace_with_xla_dispatch(fn):
+    """Trace ``fn`` with Pallas dispatch disabled: this jit is
+    GSPMD-partitioned, and a ``pallas_call`` inside it has no SPMD
+    partitioning rule — the partitioner would replicate its operands
+    (all-gathering every H-sharded DropBlock input) or fail. The XLA
+    implementations partition cleanly (ops/dispatch.py force_xla)."""
+    from axcnn.ops.dispatch import force_xla
+
+    def traced(*args):
+        with force_xla("GSPMD spatial-partitioned program"):
+            return fn(*args)
+
+    return traced
+
+
 def spatial_train_step(train_step, mesh: Mesh):
     """Jit a global-semantics ``train_step(state, batch, key)`` (built with
     ``axis_name=None``) over the (data, spatial) mesh.
@@ -100,7 +115,7 @@ def spatial_train_step(train_step, mesh: Mesh):
     """
     rep = replicated(mesh)
     return jax.jit(
-        train_step,
+        _trace_with_xla_dispatch(train_step),
         in_shardings=(rep, spatial_batch_sharding(mesh), rep),
         out_shardings=(rep, rep),
         donate_argnums=(0,),
@@ -110,7 +125,7 @@ def spatial_train_step(train_step, mesh: Mesh):
 def spatial_eval_step(eval_step, mesh: Mesh):
     rep = replicated(mesh)
     return jax.jit(
-        eval_step,
+        _trace_with_xla_dispatch(eval_step),
         in_shardings=(rep, spatial_batch_sharding(mesh)),
         out_shardings=rep,
     )

@@ -1,0 +1,160 @@
+"""Native-loader serial-section measurement (VERDICT r2 missing #4).
+
+The native pipeline is: ONE Python producer thread (record framing, shuffle,
+seed derivation, pointer marshalling) driving a GIL-free C++ decode pool.
+Throughput scales with cores only until the producer's serial section becomes
+the bottleneck — this script measures that section directly:
+
+- ``stub``      : decode_batch replaced by a no-op → pure Python producer
+                  rate = the ceiling ANY number of decode cores can reach.
+- ``real@k``    : end-to-end loader rate with k C++ threads (on a 1-core box
+                  these are all decode-bound and equal; on a multi-core host
+                  they scale until the stub rate).
+- per-term breakdown: framing-only stream consumption, seed derivation,
+  pointer marshalling (measured by stages of stubbing).
+
+Prints a JSON summary; docs/SCALING.md records the numbers.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import argparse
+import io
+import json
+import time
+
+import numpy as np
+
+
+def make_data(data_dir, n_images, shards=4, size=(320, 260), quality=90):
+    from PIL import Image
+
+    from axcnn.data.tfrecord import TFRecordWriter, make_example
+
+    marker = os.path.join(data_dir, f"ok-{n_images}")
+    if os.path.exists(marker):
+        return
+    os.makedirs(data_dir, exist_ok=True)
+    rng = np.random.default_rng(0)
+    per = n_images // shards
+    for s in range(shards):
+        with TFRecordWriter(
+                os.path.join(data_dir, f"train-{s:05d}-of-{shards:05d}")) as w:
+            for _ in range(per):
+                base = rng.integers(0, 256, (13, 16, 3)).astype(np.uint8)
+                img = Image.fromarray(base).resize(size, Image.BILINEAR)
+                buf = io.BytesIO()
+                img.save(buf, "JPEG", quality=quality)
+                w.write(make_example({
+                    "image/encoded": [buf.getvalue()],
+                    "image/class/label": [int(rng.integers(0, 1000))],
+                }))
+    open(marker, "w").close()
+
+
+def _loader(data_dir, n_images, batch, workers, aa):
+    from axcnn.data.datasets import DatasetInfo
+    from axcnn.data.pipeline import TFRecordImageLoader
+
+    info = DatasetInfo("bench", 1000, n_images, n_images,
+                       train_prefix="train", eval_prefix="train")
+    return TFRecordImageLoader(
+        data_dir, info, batch_size=batch, train=True, image_size=224,
+        autoaugment_type="v0" if aa else "none", seed=1, num_workers=workers,
+        use_native=True)
+
+
+def _rate(loader, batches, *, warm=1):
+    it = iter(loader)
+    for _ in range(warm):
+        next(it)
+    t0 = time.perf_counter()
+    n = 0
+    for _ in range(batches):
+        n += next(it)["labels"].shape[0]
+    return n / (time.perf_counter() - t0)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_dir", default="/tmp/axcnn_loaderbench")
+    ap.add_argument("--n_images", type=int, default=4096)
+    ap.add_argument("--batch", type=int, default=128)
+    ap.add_argument("--batches", type=int, default=12)
+    args = ap.parse_args()
+    make_data(args.data_dir, args.n_images)
+
+    from axcnn.data import cpp_loader
+    from axcnn.data import pipeline as pl
+
+    cpp_loader.get_lib()
+    out = {"host_cores": os.cpu_count()}
+
+    # ---- stub: full producer path, decode replaced by no-op ----------------
+    real_decode = cpp_loader.decode_batch
+
+    def stub_decode(payloads, *, image_size, resize_min, train, seeds,
+                    num_threads=8, dct_fast=False, aa_policy=-1):
+        n = len(payloads)
+        return (np.zeros((n, image_size, image_size, 3), np.uint8),
+                np.zeros((n,), np.int32), n)
+
+    def stub_marshal(payloads, *, image_size, resize_min, train, seeds,
+                     num_threads=8, dct_fast=False, aa_policy=-1):
+        # includes pointer/size/seed marshalling but not the C++ call
+        import ctypes
+        n = len(payloads)
+        if n and isinstance(payloads[0], np.ndarray):
+            (ctypes.c_void_p * n)(*[p.ctypes.data for p in payloads])
+            (ctypes.c_int64 * n)(*[p.size for p in payloads])
+        else:
+            (ctypes.c_char_p * n)(*payloads)
+            (ctypes.c_int64 * n)(*[len(p) for p in payloads])
+        np.ascontiguousarray(np.asarray(seeds, np.uint64))
+        return (np.zeros((n, image_size, image_size, 3), np.uint8),
+                np.zeros((n,), np.int32), n)
+
+    try:
+        cpp_loader.decode_batch = stub_decode
+        ldr = _loader(args.data_dir, args.n_images, args.batch, 4, aa=True)
+        ldr._cpp = cpp_loader
+        out["stub_producer_ips"] = round(_rate(ldr, args.batches * 4), 1)
+        cpp_loader.decode_batch = stub_marshal
+        ldr = _loader(args.data_dir, args.n_images, args.batch, 4, aa=True)
+        ldr._cpp = cpp_loader
+        out["stub_with_marshal_ips"] = round(_rate(ldr, args.batches * 4), 1)
+    finally:
+        cpp_loader.decode_batch = real_decode
+
+    # ---- framing-only: raw mmap record stream ------------------------------
+    ldr = _loader(args.data_dir, args.n_images, args.batch, 1, aa=True)
+    t0 = time.perf_counter()
+    n = sum(1 for _ in ldr._record_stream(0))
+    out["framing_stream_ips"] = round(n / (time.perf_counter() - t0), 1)
+
+    # ---- seed derivation ---------------------------------------------------
+    idxs = np.arange(args.batch)
+    t0 = time.perf_counter()
+    for e in range(200):
+        pl._record_seeds(1, e, idxs)
+    out["seed_us_per_record"] = round(
+        (time.perf_counter() - t0) / (200 * args.batch) * 1e6, 3)
+
+    # ---- real loader at worker counts -------------------------------------
+    for k in (1, 2, 4):
+        ldr = _loader(args.data_dir, args.n_images, args.batch, k, aa=True)
+        out[f"real_ips_workers{k}"] = round(_rate(ldr, args.batches), 1)
+
+    s = out["stub_producer_ips"]
+    d1 = out["real_ips_workers1"]
+    out["serial_us_per_record"] = round(1e6 / s, 1)
+    out["decode_us_per_record_1core"] = round(1e6 / d1 - 1e6 / s, 1)
+    out["projected_scaling_limit_cores"] = round(
+        (1e6 / d1 - 1e6 / s) / (1e6 / s), 1)
+    print(json.dumps(out, indent=2))
+
+
+if __name__ == "__main__":
+    main()

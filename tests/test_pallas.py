@@ -100,6 +100,25 @@ class TestDispatch:
         finally:
             dispatch.set_pallas_mode(old)
 
+    def test_force_xla_overrides_all_modes(self):
+        """Inside a GSPMD-partitioned trace (spatial partitioning) Pallas
+        must be off regardless of mode — pallas_call has no SPMD rule."""
+        import warnings as _w
+
+        from axcnn.ops import dispatch
+
+        old = dispatch.pallas_mode()
+        try:
+            dispatch.set_pallas_mode("on")
+            with dispatch.force_xla("test partitioned program"):
+                with _w.catch_warnings(record=True) as rec:
+                    _w.simplefilter("always")
+                    assert not dispatch.use_pallas("dropblock")
+                assert any("SPMD" in str(r.message) for r in rec)
+            assert dispatch.use_pallas("dropblock")  # restored outside
+        finally:
+            dispatch.set_pallas_mode(old)
+
     def test_mode_flip_invalidates_jit_cache(self):
         """set_pallas_mode must take effect for ALREADY-JITTED functions: the
         mode is trace-time state outside the jit cache key, so flipping it
