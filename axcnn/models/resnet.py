@@ -56,6 +56,12 @@ class ModelConfig:
     use_resnet_d: bool = False
     use_se_block: bool = False
     use_sk_block: bool = False
+    # Execution-path knob (weights/checkpoints unchanged): compute both SK
+    # branches in ONE 5x5 conv with 2C outputs instead of two 3x3 convs —
+    # reads the input activation once instead of twice at 25/18x the MXU
+    # FLOPs (zero taps). Numerically identical (ops/sk.py); measured
+    # head-to-head on the chip in scripts/opt_experiments.py.
+    sk_merged_conv: bool = False
     se_ratio: int = 16
     anti_alias_type: str = "none"  # none | sconv | proj | max
     anti_alias_filter_size: int = 3
@@ -369,7 +375,8 @@ def _block_apply(params, state, x, cfg: ModelConfig, *, stride, train, policy, a
     if cfg.use_sk_block:
         h, new_state["sk"] = sk_apply(
             params["sk"], state["sk"], h, stride=mid_stride, train=train,
-            bn_momentum=cfg.bn_momentum, axis_name=axis_name, compute_dtype=cd)
+            bn_momentum=cfg.bn_momentum, axis_name=axis_name, compute_dtype=cd,
+            merged=cfg.sk_merged_conv)
     else:
         h = conv_apply(params["conv2"], h, stride=mid_stride, compute_dtype=cd)
         h, new_state["bn2"] = bn_apply(params["bn2"], state["bn2"], h, train=train,

@@ -51,17 +51,46 @@ def sk_init(key, in_ch: int, out_ch: int, *, ratio: int = 16, min_dim: int = 32,
     return params, state
 
 
+def _merged_sk_kernel(w0, w1):
+    """Embed both SK branches in ONE 5x5 kernel with 2C output channels.
+
+    The dense 3x3 (dilation 1) sits at the center taps [1:4, 1:4]; the
+    dilated-2 3x3 sits at the even taps [::2, ::2] (its effective 5x5
+    footprint). With the explicit TF-fixed-padding scheme (conv.py:
+    pad = (eff-1)//2 both sides, eff = 5 for all three variants) the merged
+    conv is tap-for-tap identical to the two separate convs for ANY stride
+    — the extra taps contract exact zeros. One conv instead of two reads
+    the (large) input activation once instead of twice; the price is 25/18x
+    the MXU FLOPs on zero taps. Which side of that trade wins is measured
+    on the chip (scripts/opt_experiments.py), not assumed.
+    """
+    five0 = jnp.zeros((5, 5) + w0.shape[2:], w0.dtype).at[1:4, 1:4].set(w0)
+    five1 = jnp.zeros((5, 5) + w1.shape[2:], w1.dtype).at[::2, ::2].set(w1)
+    return jnp.concatenate([five0, five1], axis=-1)
+
+
 def sk_apply(params, state, x, *, stride: int = 1, train: bool,
-             bn_momentum: float = 0.997, axis_name=None, compute_dtype=None):
-    """Returns (y, new_state). Branch b uses dilation b+1 (3x3, then 3x3 d2)."""
+             bn_momentum: float = 0.997, axis_name=None, compute_dtype=None,
+             merged: bool = False):
+    """Returns (y, new_state). Branch b uses dilation b+1 (3x3, then 3x3 d2).
+
+    ``merged=True`` computes both branches in one 5x5 conv (see
+    ``_merged_sk_kernel``) — numerically identical, different perf shape.
+    """
     out_ch = params["conv0"]["w"].shape[-1]
     new_state = {}
     branches = []
+    if merged:
+        w = _merged_sk_kernel(params["conv0"]["w"], params["conv1"]["w"])
+        h2 = conv_apply({"w": w}, x, stride=stride, compute_dtype=compute_dtype)
+        raw = [h2[..., :out_ch], h2[..., out_ch:]]
+    else:
+        raw = [conv_apply(params[f"conv{b}"], x, stride=stride, dilation=b + 1,
+                          compute_dtype=compute_dtype)
+               for b in range(NUM_BRANCHES)]
     for b in range(NUM_BRANCHES):
-        h = conv_apply(params[f"conv{b}"], x, stride=stride, dilation=b + 1,
-                       compute_dtype=compute_dtype)
         h, new_state[f"bn{b}"] = bn_apply(
-            params[f"bn{b}"], state[f"bn{b}"], h, train=train,
+            params[f"bn{b}"], state[f"bn{b}"], raw[b], train=train,
             momentum=bn_momentum, axis_name=axis_name)
         branches.append(jax.nn.relu(h))
 

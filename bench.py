@@ -22,10 +22,15 @@ baseline):
                      On this 1-CPU-core box the loader is the bound; the
                      per-core loader rate is reported alongside.
 
-vs_baseline keeps the round-1 denominator (170 img/s: assumed TF1-V100
-Assemble-R50 *training* rate, [K-lo] — the reference publishes no such
-number) so the series stays comparable across rounds; treat mfu/hbm
-utilization as the absolute truth.
+Headline semantics (round 3, VERDICT r2 weak #1/#6): ``value`` is the
+measured absolute train img/s/chip; ``vs_baseline`` is the **fraction of
+the chip's speed of light** for this program — measured step time vs
+max(FLOPs/peak_bf16, HLO-graph bytes/peak_HBM), where HLO-graph bytes are
+the fused graph's unique operand+output traffic (scripts/profile_roofline
+accounting) rather than the cost model's logical bytes (which overcounted
+to an impossible 103% HBM utilization in round 2). The round-1 "vs assumed
+TF1-V100 170 img/s [K-lo]" ratio survives only in details for series
+continuity.
 """
 
 import io
@@ -109,6 +114,15 @@ def bench_compute():
         ca = ca[0]
     flops = float(ca.get("flops", float("nan")))
     bytes_acc = float(ca.get("bytes accessed", float("nan")))
+    # fused-graph traffic: unique operand+output bytes of the optimized HLO's
+    # entry instructions — the honest HBM denominator (see module docstring)
+    try:
+        from scripts.profile_roofline import parse_entry, graph_traffic
+
+        instrs, sizes = parse_entry(step_fn.as_text())
+        graph_bytes, _ = graph_traffic(instrs, sizes)
+    except Exception:
+        graph_bytes = float("nan")
 
     for _ in range(WARMUP):
         state, metrics = step_fn(state, batch, key)
@@ -128,16 +142,28 @@ def bench_compute():
     float(m["loss_sum"])
     infer_ips = BATCH * TIMED / (time.perf_counter() - t0)
 
+    # speed of light for THIS program: whichever wall is closer; if the HLO
+    # parse failed (graph_bytes nan) fall back to the FLOPs wall alone so the
+    # headline stays a number
+    sol_s = flops / (PEAK_TFLOPS_BF16 * 1e12)
+    if np.isfinite(graph_bytes):
+        sol_s = max(sol_s, graph_bytes / (PEAK_HBM_GBPS * 1e9))
     return {
         "train_ips": round(train_ips, 1),
         "infer_ips": round(infer_ips, 1),
         "step_ms": round(step_s * 1e3, 2),
         "train_gflop_per_step": round(flops / 1e9, 1),
-        "train_gb_per_step": round(bytes_acc / 1e9, 2),
+        "costmodel_gb_per_step": round(bytes_acc / 1e9, 2),
+        "graph_gb_per_step": round(graph_bytes / 1e9, 2),
         "tflops": round(flops / step_s / 1e12, 1),
         "mfu": round(flops / step_s / 1e12 / PEAK_TFLOPS_BF16, 3),
-        "hbm_gbps": round(bytes_acc / step_s / 1e9, 0),
-        "hbm_utilization": round(bytes_acc / step_s / 1e9 / PEAK_HBM_GBPS, 3),
+        "hbm_gbps_graph": round(graph_bytes / step_s / 1e9, 0),
+        "hbm_utilization_graph": round(
+            graph_bytes / step_s / 1e9 / PEAK_HBM_GBPS, 3),
+        "hbm_utilization_costmodel_overcounted": round(
+            bytes_acc / step_s / 1e9 / PEAK_HBM_GBPS, 3),
+        "speed_of_light_ms": round(sol_s * 1e3, 2),
+        "fraction_of_speed_of_light": round(sol_s / step_s, 3),
     }
 
 
@@ -217,15 +243,18 @@ def main():
         details.update(bench_loader_fed())
     except Exception as exc:  # loader-fed is best-effort (needs g++/libjpeg)
         details["loader_fed_error"] = f"{type(exc).__name__}: {exc}"
+    details["vs_assumed_tf1_v100_170ips"] = round(
+        details["train_ips"] / BASELINE_TRAIN_IPS, 3)
     details["baseline_note"] = (
-        "vs_baseline uses 170 img/s assumed TF1-V100 Assemble-R50 TRAIN rate "
-        "[K-lo]; mfu/hbm_utilization are measured absolutes (chip specs "
-        f"{PEAK_TFLOPS_BF16} TFLOP/s bf16, {PEAK_HBM_GBPS} GB/s HBM)")
+        "vs_baseline = measured fraction of this program's speed of light "
+        f"(max(FLOPs/{PEAK_TFLOPS_BF16}TF, fused-graph bytes/"
+        f"{PEAK_HBM_GBPS}GB/s)); the old 170 img/s assumed-TF1 ratio [K-lo] "
+        "lives in vs_assumed_tf1_v100_170ips")
     print(json.dumps({
         "metric": "assemble_resnet50_train_images_per_sec_per_chip",
         "value": details["train_ips"],
         "unit": "images/sec/chip",
-        "vs_baseline": round(details["train_ips"] / BASELINE_TRAIN_IPS, 3),
+        "vs_baseline": details["fraction_of_speed_of_light"],
         "details": details,
     }))
 

@@ -13,10 +13,22 @@ axcnn/train/ema.py) — long enough for them to be meaningful:
   AutoAugment(v0) + mixup + LS + DropBlock schedule + EMA, bf16.
 - Eval on the HELD-OUT split, raw vs EMA weights (EMA must not lag).
 - Fine-tune legs (reference §3.3 warm-start protocol): a 4-class task of
-  UNSEEN diagonal-stripe patterns, 120-step budget chosen so a cold start
-  cannot reach ceiling — warm-start (pretrained body, fresh head) must
-  beat cold by a wide margin, demonstrating the BENEFIT, not mere
+  UNSEEN hue x orientation combinations, 120-step budget chosen so a cold
+  start cannot reach ceiling — warm-start (pretrained body, fresh head)
+  must beat cold by a wide margin, demonstrating the BENEFIT, not mere
   functioning (round 2's cold control also hit 100%).
+
+  Fine-tune class-design constraint (learned the hard way): the classes
+  must be INVARIANT under the training augmentations. A first attempt used
+  diagonal-stripe orientation (dl vs dr) — random horizontal flip maps one
+  diagonal onto the other, so the task was unlearnable by construction and
+  both legs pinned at exactly 50% (color learned, orientation at chance).
+  h/v orientations and hues survive flips/crops; AutoAugment v0's color
+  ops leave hue ordering learnable (the pretrain run proves it).
+
+The pretrained state is checkpointed under <root>/pre_ckpt — a re-run
+(e.g. after tuning the fine-tune legs) restores it instead of repeating
+the 1500-step pretrain.
 
 Run:  python scripts/convergence_drive_full.py   (on the TPU; ~10-15 min)
 Recorded results: docs/CONVERGENCE.md.
@@ -33,6 +45,12 @@ import numpy as np
 from PIL import Image
 
 import jax
+
+# persistent compile cache: the cold compile of the full train step takes
+# minutes through the tunnel and looks like a hang without it
+jax.config.update("jax_compilation_cache_dir", "/root/.cache/axcnn_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 from axcnn.data.build_tfrecords import write_shards
 from axcnn.data.datasets import DatasetInfo
@@ -78,7 +96,8 @@ def make_set(root, classes, n_train, n_eval, seed):
     shards; returns (dir, DatasetInfo)."""
     rng = np.random.default_rng(seed)
     out = os.path.join(root, "rec")
-    marker = os.path.join(out, f"ok-{len(classes)}-{n_train}-{n_eval}")
+    tag = "-".join(name for name, _, _ in classes)
+    marker = os.path.join(out, f"ok-{tag}-{n_train}-{n_eval}")
     info = DatasetInfo(f"drive{len(classes)}", num_classes=len(classes),
                        num_train=n_train * len(classes),
                        num_eval=n_eval * len(classes),
@@ -116,11 +135,15 @@ def _train(cfg, data_dir, info, steps, *, base_lr, seed, init_state=None,
         total_steps=steps, policy=BF16_POLICY, label_smoothing=0.1,
         mixup_alpha=0.2, weight_decay=1e-4, use_ema=True, ema_decay=0.9999,
         mean_rgb=info.mean_rgb, stddev_rgb=info.stddev_rgb)
-    step_fn = jax.jit(train_step, donate_argnums=(0,))
     state = init_state if init_state is not None else \
         create_train_state(jax.random.key(seed), cfg, use_ema=True)
     key = jax.random.key(seed + 1)
     it = device_prefetch(iter(loader), size=2)
+    t0 = time.time()
+    print(f"[{label}] compiling train step...", flush=True)
+    step_fn = jax.jit(train_step, donate_argnums=(0,)).lower(
+        state, next(it), key).compile()
+    print(f"[{label}] compiled in {time.time() - t0:.0f}s", flush=True)
     t0 = time.time()
     for step in range(1, steps + 1):
         state, m = step_fn(state, next(it), key)
@@ -158,8 +181,19 @@ def main():
                       anti_alias_type="sconv", use_dropblock=True,
                       dropblock_keep_prob=0.9, zero_gamma=True,
                       bn_momentum=0.997)  # PRODUCTION constant
-    state = _train(cfg, pre_dir, pre_info, STEPS, base_lr=0.05, seed=0,
-                   label="pretrain")
+    from axcnn.ckpt.checkpoint import CheckpointManager
+    mgr = CheckpointManager(os.path.join(root, "pre_ckpt"), max_to_keep=1)
+    template = create_train_state(jax.random.key(0), cfg, use_ema=True)
+    restored = mgr.restore(template)
+    if restored is not None:
+        state = restored[0]
+        print(f"[pretrain] restored cached state at step "
+              f"{int(state.step)}", flush=True)
+    else:
+        state = _train(cfg, pre_dir, pre_info, STEPS, base_lr=0.05, seed=0,
+                       label="pretrain")
+        mgr.save(state, force=True)
+        mgr.wait()
 
     results = {}
     for name, use_ema in (("raw", False), ("ema", True)):
@@ -168,10 +202,11 @@ def main():
         print(f"pretrain eval[{name}] (held-out): top1={m['top1']:.2f}% "
               f"loss={m['loss']:.4f} count={m['count']:.0f}", flush=True)
 
-    # ---- fine-tune: 4 unseen diagonal-pattern classes ---------------------
-    ft_classes = [("red_dl", HUES["red"], "dl"), ("red_dr", HUES["red"], "dr"),
-                  ("blue_dl", HUES["blue"], "dl"),
-                  ("blue_dr", HUES["blue"], "dr")]
+    # ---- fine-tune: 4 unseen hue x orientation classes --------------------
+    # cyan/white hues never appear in pretraining; h/v orientation is
+    # flip-invariant (see the module docstring for why diagonals are not)
+    ft_classes = [("cyan_h", (0, 1, 1), "h"), ("cyan_v", (0, 1, 1), "v"),
+                  ("white_h", (1, 1, 1), "h"), ("white_v", (1, 1, 1), "v")]
     ft_dir, ft_info = make_set(os.path.join(root, "ft"), ft_classes,
                                n_train=150, n_eval=50, seed=1)
     ft_cfg = ModelConfig(resnet_size=50, num_classes=4, use_resnet_d=True,

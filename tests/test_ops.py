@@ -179,6 +179,43 @@ class TestSK:
         _, ns = sk_apply(p, s, x, stride=1, train=True)
         assert not np.allclose(np.asarray(ns["bn0"]["mean"]), 0.0)
 
+    def test_merged_kernel_conv_equivalent(self):
+        # the one-5x5-conv execution path (sk_merged_conv) is tap-for-tap
+        # identical to the two separate branch convs — the extra kernel
+        # positions contract exact zeros — for both strides. Tolerance is
+        # fp32 reassociation only (45- vs 9-tap contraction order).
+        from axcnn.ops.conv import conv_apply
+        from axcnn.ops.sk import _merged_sk_kernel
+
+        p, _ = sk_init(jax.random.key(0), 16, 16)
+        w0, w1 = p["conv0"]["w"], p["conv1"]["w"]
+        x = jax.random.normal(jax.random.key(1), (2, 12, 12, 16))
+        for stride in (1, 2):
+            a0 = conv_apply({"w": w0}, x, stride=stride, dilation=1)
+            a1 = conv_apply({"w": w1}, x, stride=stride, dilation=2)
+            m = conv_apply({"w": _merged_sk_kernel(w0, w1)}, x, stride=stride)
+            np.testing.assert_allclose(np.asarray(m[..., :16]),
+                                       np.asarray(a0), rtol=2e-5, atol=2e-6)
+            np.testing.assert_allclose(np.asarray(m[..., 16:]),
+                                       np.asarray(a1), rtol=2e-5, atol=2e-6)
+
+    def test_merged_block_equivalent(self):
+        # full SK block, merged vs separate: train-mode BN normalization
+        # amplifies the conv's ~1e-6 reassociation noise (rsqrt of batch
+        # variance), so the block-level bound is looser by design
+        p, s = sk_init(jax.random.key(0), 16, 16)
+        x = jax.random.normal(jax.random.key(1), (2, 12, 12, 16))
+        for stride in (1, 2):
+            for train in (False, True):
+                y, ns = sk_apply(p, s, x, stride=stride, train=train)
+                ym, nsm = sk_apply(p, s, x, stride=stride, train=train,
+                                   merged=True)
+                np.testing.assert_allclose(np.asarray(ym), np.asarray(y),
+                                           rtol=5e-3, atol=5e-3)
+                np.testing.assert_allclose(
+                    np.asarray(nsm["bn0"]["mean"]),
+                    np.asarray(ns["bn0"]["mean"]), rtol=1e-4, atol=1e-5)
+
 
 class TestDropBlock:
     def test_eval_noop(self):
