@@ -11,11 +11,12 @@ baseline):
 - train_ips        : full config-4 train step (bf16, mixup+LS+EMA+DropBlock),
                      synthetic resident batch — pure compute path.
 - infer_ips        : eval forward, same model, batch 128.
-- mfu / hbm_gbps   : from XLA's own cost model (compiled.cost_analysis():
-                     FLOPs and bytes accessed) against the chip's ~197
-                     TFLOP/s bf16 / 819 GB/s HBM specs. The step is
-                     HBM-bandwidth-bound (docs/DESIGN.md roofline table), so
-                     hbm_utilization is the honest "speed-of-light" figure.
+- mfu / hbm_gbps   : FLOPs from XLA's cost model; HBM bytes from the
+                     memory-space-aware fused-graph accounting
+                     (scripts/profile_roofline.py — the cost model's
+                     logical bytes overcount ~1.7x; docs/DESIGN.md round-3
+                     roofline). Both walls are reported against ~197
+                     TFLOP/s bf16 / 819 GB/s specs.
 - loader_fed_train_ips : steady-state train fed by the NATIVE loader
                      (crop-during-decode + C++ AutoAugment v0) over a
                      generated JPEG shard set — the full-pipeline number.

@@ -55,8 +55,90 @@ def shape_bytes(type_str: str) -> int:
     return total
 
 
-_INSTR_RE = re.compile(
-    r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*((?:\([^)]*\)|\S+))\s+([\w\-]+)\(")
+_ELEM_RE = re.compile(r"(\w+)\[([\d,]*)\](\{[^}]*\})?")
+
+
+def hbm_bytes(type_str: str) -> int:
+    """Bytes of the elements that live in DEFAULT memory (HBM). TPU
+    memory-space assignment tags VMEM-resident buffers ``S(1)`` (and other
+    non-HBM spaces S(2)/S(6)...) inside the layout braces; those never touch
+    HBM and must not count toward the bandwidth roofline."""
+    total = 0
+    for dt, dims, layout in _ELEM_RE.findall(type_str):
+        if dt not in DTYPE_BYTES:
+            continue
+        if layout and re.search(r"S\([1-9]", layout):
+            continue
+        numel = 1
+        for d in dims.split(","):
+            if d:
+                numel *= int(d)
+        total += numel * DTYPE_BYTES[dt]
+    return total
+
+
+def tuple_elements(type_str: str):
+    """Split a (possibly nested) HLO tuple type into its top-level element
+    type strings; a non-tuple returns [type_str]."""
+    s = type_str.strip()
+    if not s.startswith("("):
+        return [s]
+    inner = s[1:-1]
+    parts, depth, cur = [], 0, ""
+    for ch in inner:
+        if ch in "({[":
+            depth += 1
+        elif ch in ")}]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append(cur.strip())
+            cur = ""
+        else:
+            cur += ch
+    if cur.strip():
+        parts.append(cur.strip())
+    return parts
+
+
+_LHS_RE = re.compile(r"^\s*(?:ROOT\s+)?%?([\w.\-]+)\s*=\s*")
+_OPCODE_RE = re.compile(r"\s*([\w\-]+)\(")
+
+
+def split_instr(line: str):
+    """Split one HLO instruction line into (name, type_str, opcode,
+    args_part) or None. Handles tuple result types whose LAYOUT annotations
+    contain nested parentheses — e.g.
+    ``(bf16[128,256]{1,0:T(8,128)(2,1)S(1)}, bf16[...]) fusion(...)`` —
+    which a naive ``\\([^)]*\\)`` regex truncates at the first ')', silently
+    dropping every multi-output fusion (exactly the conv+BN-stats kernels)
+    from the traffic accounting."""
+    m = _LHS_RE.match(line)
+    if not m:
+        return None
+    rest = line[m.end():]
+    if rest.startswith("("):
+        depth = 0
+        end = -1
+        for i, ch in enumerate(rest):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i + 1
+                    break
+        if end < 0:
+            return None
+        type_str, after = rest[:end], rest[end:]
+    else:
+        sp = rest.find(" ")
+        if sp < 0:
+            return None
+        type_str, after = rest[:sp], rest[sp:]
+    m2 = _OPCODE_RE.match(after)
+    if not m2:
+        return None
+    return m.group(1), type_str, m2.group(1), after[m2.end() - 1:]
 
 
 def parse_entry(hlo: str):
@@ -67,9 +149,9 @@ def parse_entry(hlo: str):
     # first pass: result sizes for EVERY instruction in the module (operands
     # of entry instructions are other entry instructions or parameters)
     for line in hlo.splitlines():
-        m = _INSTR_RE.match(line)
-        if m:
-            sizes[m.group(1)] = shape_bytes(m.group(2))
+        parts = split_instr(line)
+        if parts:
+            sizes[parts[0]] = shape_bytes(parts[1])
     instrs = []
     in_entry = False
     for line in hlo.splitlines():
@@ -79,11 +161,10 @@ def parse_entry(hlo: str):
         if in_entry:
             if line.startswith("}"):
                 break
-            m = _INSTR_RE.match(line)
-            if not m:
+            parts = split_instr(line)
+            if not parts:
                 continue
-            name, type_str, opcode = m.groups()
-            paren = line[m.end() - 1:]
+            name, type_str, opcode, paren = parts
             depth = 0
             args = ""
             for ch in paren:
@@ -100,7 +181,7 @@ def parse_entry(hlo: str):
             operands = re.findall(r"%?([\w.\-]+)", args)
             operands = [o for o in operands if o in sizes]
             instrs.append({
-                "name": name, "opcode": opcode,
+                "name": name, "opcode": opcode, "type": type_str,
                 "out_bytes": shape_bytes(type_str),
                 "operands": operands,
             })
@@ -108,18 +189,43 @@ def parse_entry(hlo: str):
 
 
 def graph_traffic(instrs, sizes):
-    """Sum of unique operand + output bytes over entry instructions,
-    excluding pure bookkeeping opcodes that do not touch HBM."""
+    """HBM traffic of the fused entry graph: per instruction, the bytes it
+    moves to/from DEFAULT memory (HBM), memory-space-aware:
+
+    - bookkeeping opcodes (parameter/tuple/gte/constant/bitcast/...) and
+      async ``*-done`` retrievals: 0 (no HBM touch of their own);
+    - ``copy-start``: one transfer of the destination's logical bytes
+      (element[0] of its result tuple) — HBM->VMEM prefetches read that
+      much from HBM, VMEM->HBM evictions write that much;
+    - ``async-start`` (TPU async slice etc., result
+      ``((operand aliases), payload, context)``): one transfer of the
+      payload's (element[1]) logical bytes — the alias tuple is NOT traffic;
+    - everything else: its output's HBM-resident bytes + each unique
+      operand's HBM-resident bytes (an operand living in VMEM — S(1),
+      e.g. a ``copy-done`` result — was already paid for by its copy).
+
+    Returns (total_bytes, {name: bytes}).
+    """
     skip = {"parameter", "tuple", "get-tuple-element", "constant", "bitcast",
             "after-all", "partition-id", "replica-id"}
+    types = {i["name"]: i["type"] for i in instrs}
     total = 0
     per_instr = {}
     for ins in instrs:
-        if ins["opcode"] in skip:
+        op = ins["opcode"]
+        if op in skip or op.endswith("-done"):
             continue
-        b = ins["out_bytes"]
-        for op in set(ins["operands"]):
-            b += sizes.get(op, 0)
+        if op == "copy-start":
+            elems = tuple_elements(ins["type"])
+            b = shape_bytes(elems[0]) if elems else 0
+        elif op == "async-start":
+            elems = tuple_elements(ins["type"])
+            b = shape_bytes(elems[1]) if len(elems) > 1 else 0
+        else:
+            b = hbm_bytes(ins["type"])
+            for o in set(ins["operands"]):
+                t = types.get(o)
+                b += hbm_bytes(t) if t is not None else sizes.get(o, 0)
         per_instr[ins["name"]] = b
         total += b
     return total, per_instr
@@ -174,7 +280,10 @@ def main():
     args = ap.parse_args()
     os.makedirs(args.trace_dir, exist_ok=True)
 
+    print(f"devices: {jax.devices()}", flush=True)
+    t0 = time.time()
     compiled, state, data = build_step(args.batch)
+    print(f"compiled in {time.time() - t0:.0f}s", flush=True)
     key = jax.random.key(1)
 
     # cost-model numbers (the round-2 accounting, kept for comparison)
@@ -184,9 +293,12 @@ def main():
     cost_flops = float(ca.get("flops", float("nan")))
     cost_bytes = float(ca.get("bytes accessed", float("nan")))
 
+    t0 = time.time()
     hlo = compiled.as_text()
     instrs, sizes = parse_entry(hlo)
     traffic, per_instr_bytes = graph_traffic(instrs, sizes)
+    print(f"HLO parsed in {time.time() - t0:.0f}s "
+          f"({len(hlo)} chars, {len(instrs)} entry instrs)", flush=True)
 
     # timed chain (dependent steps + scalar fetch; block_until_ready is not
     # reliable through the axon tunnel)

@@ -45,6 +45,50 @@ ENTRY %main (a: f32[64,64], b: f32[64,64]) -> f32[64,64] {
         assert per["fusion.1"] == 2 * buf
         assert total == 5 * buf
 
+    def test_tuple_layout_parens_and_memory_spaces(self):
+        """TPU HLO realities the round-3 parser rewrite fixed: tuple result
+        types whose layouts contain nested parens (multi-output conv+BN-stats
+        fusions), VMEM-resident buffers (S(1)) that must not count as HBM
+        traffic, and async copy/slice transfers counted once."""
+        from scripts.profile_roofline import (parse_entry, graph_traffic,
+                                              hbm_bytes, tuple_elements)
+
+        assert hbm_bytes("bf16[128,256]{1,0:T(8,128)(2,1)}") == 128 * 256 * 2
+        assert hbm_bytes("bf16[128,256]{1,0:T(8,128)(2,1)S(1)}") == 0
+        assert tuple_elements(
+            "(bf16[2,2]{1,0:T(8,128)(2,1)S(1)}, u32[]{:S(2)})") == [
+                "bf16[2,2]{1,0:T(8,128)(2,1)S(1)}", "u32[]{:S(2)}"]
+
+        hlo = """HloModule m
+
+ENTRY %main (a: f32[64,64]) -> f32[64,64] {
+  %a = f32[64,64]{1,0:T(8,128)} parameter(0)
+  %copy-start.1 = (f32[64,64]{1,0:T(8,128)S(1)}, f32[64,64]{1,0:T(8,128)}, u32[]{:S(2)}) copy-start(%a)
+  %copy-done.1 = f32[64,64]{1,0:T(8,128)S(1)} copy-done(%copy-start.1)
+  %slice-start.1 = ((f32[64,64]{1,0:T(8,128)}), f32[32,64]{1,0:T(8,128)S(1)}, s32[]{:S(2)}) async-start(%a), calls=%async_computation.1
+  %slice-done.1 = f32[32,64]{1,0:T(8,128)S(1)} async-done(%slice-start.1)
+  ROOT %fusion.1 = (f32[64]{0:T(256)S(1)}, f32[64,64]{1,0:T(8,128)}) fusion(%copy-done.1, %slice-done.1), kind=kLoop, calls=%fused_computation.1
+}
+"""
+        instrs, sizes = parse_entry(hlo)
+        by_name = {i["name"]: i for i in instrs}
+        # the tuple-with-layout-parens result parsed (round-2 regex dropped it)
+        assert by_name["copy-start.1"]["opcode"] == "copy-start"
+        assert by_name["fusion.1"]["opcode"] == "fusion"
+        total, per = graph_traffic(instrs, sizes)
+        buf = 64 * 64 * 4
+        # copy-start: one transfer of the dest's logical bytes
+        assert per["copy-start.1"] == buf
+        # async slice: one transfer of the payload (element[1]), NOT the
+        # full aliased operand tuple
+        assert per["slice-start.1"] == 32 * 64 * 4
+        # done ops are free
+        assert "copy-done.1" not in per and "slice-done.1" not in per
+        # the fusion's operands live in VMEM (S(1)) -> only its HBM output
+        # element counts; the S(1) stats vector does not
+        assert per["fusion.1"] == buf
+        assert total == buf + 32 * 64 * 4 + buf
+
     def test_traffic_on_real_compiled_hlo(self):
         """End to end on an actual compiled program: accounting runs and is
         within sane bounds (>= output bytes, not absurdly larger than the
