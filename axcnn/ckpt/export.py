@@ -66,6 +66,10 @@ def export_serving(path: str, cfg: ModelConfig, params, model_state, *,
         "compute_dtype": str(policy.compute_dtype.__name__
                              if hasattr(policy.compute_dtype, "__name__")
                              else policy.compute_dtype),
+        # int8 PTQ serving: the quantization is baked into the StableHLO
+        # graph itself (dynamic scales are computed inside), so the loader
+        # needs no special handling — recorded here for provenance only
+        "quantized_int8": bool(policy.quantize_conv),
     }
     with open(os.path.join(path, "config.json"), "w") as f:
         json.dump(meta, f, indent=2, default=str)

@@ -221,6 +221,7 @@ def _bl_stage_apply(params, state, x, cfg: ModelConfig, *, train, policy,
                     axis_name):
     new_state = {"big": {}, "little": {}}
     cd = policy.compute_dtype
+    qc = policy.quantize_conv
 
     def _blk(p, st, h, stride):
         fn = _remat_wrap(
@@ -241,7 +242,8 @@ def _bl_stage_apply(params, state, x, cfg: ModelConfig, *, train, policy,
         little, new_state["little"][f"block{b}"] = _blk(
             params["little"][f"block{b}"], state["little"][f"block{b}"],
             little, 1)
-    little = conv_apply(params["little_proj"], little, stride=1, compute_dtype=cd)
+    little = conv_apply(params["little_proj"], little, stride=1, compute_dtype=cd,
+                        quantize=qc)
     little, new_state["little_proj_bn"] = bn_apply(
         params["little_proj_bn"], state["little_proj_bn"], little, train=train,
         momentum=cfg.bn_momentum, axis_name=axis_name)
@@ -289,16 +291,18 @@ def resnet_init(key, cfg: ModelConfig, *, dtype=jnp.float32):
 def _stem_apply(params, state, x, cfg: ModelConfig, *, train, policy, axis_name):
     new_state = {}
     cd = policy.compute_dtype
+    qc = policy.quantize_conv
     if cfg.use_resnet_d:
         for i in range(3):
             x = conv_apply(params[f"conv{i}"], x, stride=2 if i == 0 else 1,
-                           compute_dtype=cd)
+                           compute_dtype=cd, quantize=qc)
             x, new_state[f"bn{i}"] = bn_apply(
                 params[f"bn{i}"], state[f"bn{i}"], x, train=train,
                 momentum=cfg.bn_momentum, axis_name=axis_name)
             x = jax.nn.relu(x)
     else:
-        x = conv_apply(params["conv0"], x, stride=2, compute_dtype=cd)
+        x = conv_apply(params["conv0"], x, stride=2, compute_dtype=cd,
+                       quantize=qc)
         x, new_state["bn0"] = bn_apply(
             params["bn0"], state["bn0"], x, train=train,
             momentum=cfg.bn_momentum, axis_name=axis_name)
@@ -318,6 +322,7 @@ def _shortcut(params, state, x, cfg: ModelConfig, *, stride, train, policy, axis
     if "proj_conv" not in params:
         return x, new_state
     cd = policy.compute_dtype
+    qc = policy.quantize_conv
     h = x
     if stride > 1:
         if cfg.use_resnet_d:
@@ -328,7 +333,8 @@ def _shortcut(params, state, x, cfg: ModelConfig, *, stride, train, policy, axis
         conv_stride = 1 if (cfg.use_resnet_d or cfg.anti_alias_type in ("proj", "max")) else stride
     else:
         conv_stride = 1
-    h = conv_apply(params["proj_conv"], h, stride=conv_stride, compute_dtype=cd)
+    h = conv_apply(params["proj_conv"], h, stride=conv_stride, compute_dtype=cd,
+                   quantize=qc)
     h, new_state["proj_bn"] = bn_apply(
         params["proj_bn"], state["proj_bn"], h, train=train,
         momentum=cfg.bn_momentum, axis_name=axis_name)
@@ -359,11 +365,12 @@ def _remat_wrap(fn, cfg: ModelConfig, train: bool):
 def _block_apply(params, state, x, cfg: ModelConfig, *, stride, train, policy, axis_name):
     new_state = {}
     cd = policy.compute_dtype
+    qc = policy.quantize_conv
     shortcut, ns = _shortcut(params, state, x, cfg, stride=stride, train=train,
                              policy=policy, axis_name=axis_name)
     new_state.update(ns)
 
-    h = conv_apply(params["conv1"], x, stride=1, compute_dtype=cd)
+    h = conv_apply(params["conv1"], x, stride=1, compute_dtype=cd, quantize=qc)
     h, new_state["bn1"] = bn_apply(params["bn1"], state["bn1"], h, train=train,
                                    momentum=cfg.bn_momentum, axis_name=axis_name)
     h = jax.nn.relu(h)
@@ -376,16 +383,17 @@ def _block_apply(params, state, x, cfg: ModelConfig, *, stride, train, policy, a
         h, new_state["sk"] = sk_apply(
             params["sk"], state["sk"], h, stride=mid_stride, train=train,
             bn_momentum=cfg.bn_momentum, axis_name=axis_name, compute_dtype=cd,
-            merged=cfg.sk_merged_conv)
+            merged=cfg.sk_merged_conv, quantize=qc)
     else:
-        h = conv_apply(params["conv2"], h, stride=mid_stride, compute_dtype=cd)
+        h = conv_apply(params["conv2"], h, stride=mid_stride, compute_dtype=cd,
+                       quantize=qc)
         h, new_state["bn2"] = bn_apply(params["bn2"], state["bn2"], h, train=train,
                                        momentum=cfg.bn_momentum, axis_name=axis_name)
         h = jax.nn.relu(h)
     if aa and stride > 1:
         h = blur_pool(h, stride=stride, filter_size=cfg.anti_alias_filter_size)
 
-    h = conv_apply(params["conv3"], h, stride=1, compute_dtype=cd)
+    h = conv_apply(params["conv3"], h, stride=1, compute_dtype=cd, quantize=qc)
     h, new_state["bn3"] = bn_apply(params["bn3"], state["bn3"], h, train=train,
                                    momentum=cfg.bn_momentum, axis_name=axis_name)
 

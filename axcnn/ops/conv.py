@@ -49,8 +49,42 @@ def fixed_pad_amounts(kernel_size: int, dilation: int = 1):
     return (pad_beg, pad_total - pad_beg)
 
 
-def conv_apply(params, x, *, stride=1, dilation=1, groups=1, compute_dtype=None):
-    """2-D conv, explicit TF-``fixed_padding`` scheme (see module docstring)."""
+def _dynamic_int8_conv(x, w, *, stride, dilation, groups, pad, out_dtype):
+    """Serving-path conv: symmetric dynamic int8 quantization.
+
+    Per-TENSOR activation scale (one fp32 max-abs reduction, computed on the
+    fly each batch — no calibration state to manage) and per-OUT-CHANNEL
+    weight scales (weights are static, so the per-channel precision is free).
+    The int8xint8->int32 conv runs on the MXU's double-rate int8 path; the
+    dequantize is one fused elementwise multiply. Symmetric (no zero point)
+    keeps the conv free of zero-point correction terms.
+    """
+    xf = x.astype(jnp.float32)
+    wf = w.astype(jnp.float32)
+    sx = jnp.maximum(jnp.max(jnp.abs(xf)), 1e-12) / 127.0
+    sw = jnp.maximum(jnp.max(jnp.abs(wf), axis=(0, 1, 2)), 1e-12) / 127.0
+    xq = jnp.round(xf / sx).astype(jnp.int8)  # max-abs scaling: already in range
+    wq = jnp.round(wf / sw).astype(jnp.int8)
+    acc = lax.conv_general_dilated(
+        xq,
+        wq,
+        window_strides=(stride, stride),
+        padding=pad,
+        rhs_dilation=(dilation, dilation),
+        dimension_numbers=_DIMSPEC,
+        feature_group_count=groups,
+        preferred_element_type=jnp.int32,
+    )
+    return (acc.astype(jnp.float32) * (sx * sw)).astype(out_dtype)
+
+
+def conv_apply(params, x, *, stride=1, dilation=1, groups=1, compute_dtype=None,
+               quantize=False):
+    """2-D conv, explicit TF-``fixed_padding`` scheme (see module docstring).
+
+    ``quantize=True`` (Policy.quantize_conv, serving only) routes through the
+    dynamic int8 path instead of the float MXU path.
+    """
     w = params["w"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)
@@ -59,6 +93,11 @@ def conv_apply(params, x, *, stride=1, dilation=1, groups=1, compute_dtype=None)
         w = w.astype(x.dtype)
     kh, kw = w.shape[0], w.shape[1]
     pad = (fixed_pad_amounts(kh, dilation), fixed_pad_amounts(kw, dilation))
+    if quantize:
+        return checkpoint_name(
+            _dynamic_int8_conv(x, w, stride=stride, dilation=dilation,
+                               groups=groups, pad=pad, out_dtype=x.dtype),
+            "conv_out")
     # fp32 means fp32: request full precision so the fp32 parity path is not
     # silently computed in bf16 passes. bf16 inputs keep the native MXU path.
     precision = lax.Precision.HIGHEST if w.dtype == jnp.float32 else None

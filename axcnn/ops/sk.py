@@ -71,7 +71,7 @@ def _merged_sk_kernel(w0, w1):
 
 def sk_apply(params, state, x, *, stride: int = 1, train: bool,
              bn_momentum: float = 0.997, axis_name=None, compute_dtype=None,
-             merged: bool = False):
+             merged: bool = False, quantize: bool = False):
     """Returns (y, new_state). Branch b uses dilation b+1 (3x3, then 3x3 d2).
 
     ``merged=True`` computes both branches in one 5x5 conv (see
@@ -82,11 +82,12 @@ def sk_apply(params, state, x, *, stride: int = 1, train: bool,
     branches = []
     if merged:
         w = _merged_sk_kernel(params["conv0"]["w"], params["conv1"]["w"])
-        h2 = conv_apply({"w": w}, x, stride=stride, compute_dtype=compute_dtype)
+        h2 = conv_apply({"w": w}, x, stride=stride, compute_dtype=compute_dtype,
+                        quantize=quantize)
         raw = [h2[..., :out_ch], h2[..., out_ch:]]
     else:
         raw = [conv_apply(params[f"conv{b}"], x, stride=stride, dilation=b + 1,
-                          compute_dtype=compute_dtype)
+                          compute_dtype=compute_dtype, quantize=quantize)
                for b in range(NUM_BRANCHES)]
     for b in range(NUM_BRANCHES):
         h, new_state[f"bn{b}"] = bn_apply(

@@ -246,6 +246,12 @@ def run(cfg: Config):
                  train=cfg.train, runtime=cfg.runtime)
 
     policy = policy_from_name(cfg.train.dtype)
+    if policy.quantize_conv and not cfg.runtime.eval_only:
+        raise ValueError(
+            "dtype=int8 is a serving-only post-training-quantization policy "
+            "(the quantized conv is not differentiable); train in bf16/fp32 "
+            "and pass --train.dtype=int8 with --runtime.eval_only or the "
+            "predict CLI")
     logger = MetricLogger(cfg.runtime.model_dir,
                           tensorboard=cfg.runtime.tensorboard)
 

@@ -143,6 +143,27 @@ def bench_compute():
     float(m["loss_sum"])
     infer_ips = BATCH * TIMED / (time.perf_counter() - t0)
 
+    # int8 PTQ serving path (core/dtypes.INT8_SERVING_POLICY): dynamic
+    # per-tensor/per-channel quantization feeding the MXU's double-rate int8
+    # convs. Guarded so a backend that cannot lower int8 convs degrades to a
+    # recorded error, not a dead bench.
+    int8_result = {}
+    try:
+        from axcnn.core.dtypes import INT8_SERVING_POLICY
+
+        eval8 = jax.jit(make_eval_step(cfg, policy=INT8_SERVING_POLICY))
+        for _ in range(WARMUP):
+            m = eval8(state, batch)
+        float(m["loss_sum"])
+        t0 = time.perf_counter()
+        for _ in range(TIMED):
+            m = eval8(state, batch)
+        float(m["loss_sum"])
+        int8_result["infer_int8_ips"] = round(
+            BATCH * TIMED / (time.perf_counter() - t0), 1)
+    except Exception as exc:  # noqa: BLE001 — record, don't die
+        int8_result["infer_int8_error"] = f"{type(exc).__name__}: {exc}"
+
     # speed of light for THIS program: whichever wall is closer; if the HLO
     # parse failed (graph_bytes nan) fall back to the FLOPs wall alone so the
     # headline stays a number
@@ -152,6 +173,7 @@ def bench_compute():
     return {
         "train_ips": round(train_ips, 1),
         "infer_ips": round(infer_ips, 1),
+        **int8_result,
         "step_ms": round(step_s * 1e3, 2),
         "train_gflop_per_step": round(flops / 1e9, 1),
         "costmodel_gb_per_step": round(bytes_acc / 1e9, 2),

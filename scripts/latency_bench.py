@@ -23,21 +23,22 @@ WARMUP = 5
 TIMED = 30
 
 
-def measure(cfg_kwargs, batch):
+def measure(cfg_kwargs, batch, dtype="bf16"):
     import jax
     import jax.numpy as jnp
 
-    from axcnn.core.dtypes import BF16_POLICY
+    from axcnn.core.dtypes import policy_from_name
     from axcnn.data.preprocessing import normalize_device
     from axcnn.models.resnet import ModelConfig, resnet_init, resnet_apply
 
+    policy = policy_from_name(dtype)
     cfg = ModelConfig(resnet_size=50, num_classes=1000, **cfg_kwargs)
     params, state = jax.jit(lambda k: resnet_init(k, cfg))(jax.random.key(0))
 
     @jax.jit
     def serve(p, s, u8):
         logits, _ = resnet_apply(p, s, normalize_device(u8), cfg=cfg,
-                                 train=False, policy=BF16_POLICY)
+                                 train=False, policy=policy)
         return logits
 
     rng = np.random.default_rng(0)
@@ -70,16 +71,20 @@ def measure(cfg_kwargs, batch):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batches", default="1,4,8,16,32,64,128")
+    ap.add_argument("--dtypes", default="bf16",
+                    help="comma list: bf16 and/or int8 (PTQ serving policy)")
     args = ap.parse_args()
     for name, kw in (
         ("assembled", dict(use_resnet_d=True, use_se_block=True,
                            use_sk_block=True, anti_alias_type="sconv")),
         ("vanilla", {}),
     ):
-        for b in [int(x) for x in args.batches.split(",")]:
-            r = measure(kw, b)
-            r["model"] = name
-            print(json.dumps(r), flush=True)
+        for dtype in args.dtypes.split(","):
+            for b in [int(x) for x in args.batches.split(",")]:
+                r = measure(kw, b, dtype=dtype)
+                r["model"] = name
+                r["dtype"] = dtype
+                print(json.dumps(r), flush=True)
 
 
 if __name__ == "__main__":
