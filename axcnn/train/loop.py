@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import math
 import os
+import signal
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -404,6 +406,19 @@ def run(cfg: Config):
     train_iter = device_prefetch(iter(train_loader), size=cfg.data.prefetch,
                                  sharding=sharding,
                                  state_fn=lambda: train_loader.state)
+    # Preemption-safe shutdown (beyond the reference's crash-resume): SIGTERM
+    # — the grace signal every cluster manager sends before killing — sets a
+    # flag; the loop finishes the in-flight step, saves the exact consumed
+    # data position, and exits cleanly, so a preempted run resumes bit-where
+    # it left off instead of replaying from the last periodic checkpoint.
+    # Single-controller only: an orbax save is a collective under
+    # multi-controller and only the signaled host would enter it.
+    preempted = threading.Event()
+    prev_sigterm = None
+    if (jax.process_count() == 1
+            and threading.current_thread() is threading.main_thread()):
+        prev_sigterm = signal.signal(signal.SIGTERM,
+                                     lambda *_: preempted.set())
     profiled = False
     while step < total_steps:
         if (cfg.runtime.profile_steps and not profiled and step > 0):
@@ -443,7 +458,16 @@ def run(cfg: Config):
                     eval_metrics["top1"] >= cfg.train.stop_threshold:
                 logger.log("early_stop", step, top1=eval_metrics["top1"])
                 break
+        if preempted.is_set():
+            ckpt.save(state, loader_state=train_iter.consumed_state
+                      or train_loader.state,
+                      rng_seed=cfg.train.seed, force=True)
+            ckpt.wait()
+            logger.log("preempt_save", step)
+            break
 
+    if prev_sigterm is not None:
+        signal.signal(signal.SIGTERM, prev_sigterm)
     _maybe_export()
     ckpt.wait()
     ckpt.close()

@@ -29,6 +29,61 @@ def _tiny_cfg(tmp_path, **train_kw):
     )
 
 
+class TestPreemption:
+    def test_sigterm_saves_and_exits_clean(self, tmp_path):
+        """SIGTERM mid-training → the loop saves the consumed data position,
+        logs preempt_save, and exits 0 (loop.py preemption handling — beyond
+        the reference's crash-resume)."""
+        import json
+        import signal
+        import subprocess
+        import sys
+        import time
+
+        model_dir = str(tmp_path / "run")
+        worker = os.path.join(os.path.dirname(__file__), "preempt_worker.py")
+        env = dict(os.environ, JAX_PLATFORMS="cpu")
+        proc = subprocess.Popen([sys.executable, worker, model_dir, "500"],
+                                env=env, stdout=subprocess.DEVNULL,
+                                stderr=subprocess.STDOUT)
+        metrics = os.path.join(model_dir, "metrics.jsonl")
+        try:
+            # wait for the first completed train step, then signal
+            deadline = time.time() + 600
+            while time.time() < deadline:
+                if os.path.exists(metrics) and any(
+                        '"tag": "train"' in ln for ln in open(metrics)):
+                    break
+                if proc.poll() is not None:
+                    raise AssertionError(
+                        f"worker died early rc={proc.returncode}")
+                time.sleep(1.0)
+            else:
+                raise AssertionError("worker never reached a train step")
+            proc.send_signal(signal.SIGTERM)
+            rc = proc.wait(timeout=300)
+        finally:
+            if proc.poll() is None:
+                proc.kill()
+        assert rc == 0, rc
+        events = [json.loads(ln) for ln in open(metrics)]
+        saves = [e for e in events if e["tag"] == "preempt_save"]
+        assert saves, [e["tag"] for e in events]
+        assert 0 < saves[0]["step"] < 500
+        # the save is restorable and carries the preempted step
+        from axcnn.ckpt.checkpoint import CheckpointManager
+        from axcnn.train.train_step import create_train_state
+
+        state = create_train_state(jax.random.key(0),
+                                   ModelConfig(resnet_size=50,
+                                               num_classes=1001),
+                                   use_ema=True)
+        restored = CheckpointManager(
+            os.path.join(model_dir, "checkpoints")).restore(state)
+        assert restored is not None
+        assert int(restored[0].step) == saves[0]["step"]
+
+
 class TestRunLoop:
     def test_train_eval_resume(self, tmp_path):
         from axcnn.train.loop import run
