@@ -150,6 +150,132 @@ def collect_imagenet_val(root: str, labels_file: str, *, base=None):
             for fn, lab in zip(files, labels)]
 
 
+def collect_stanford_cars(root: str, split: str):
+    """Stanford Cars devkit layout: ``cars_train/`` + ``cars_test/`` image
+    dirs, ``devkit/cars_meta.mat`` (196 class names), annotations in
+    ``devkit/cars_train_annos.mat`` / ``cars_test_annos_withlabels.mat``
+    (the with-labels test file ships separately and may sit at the archive
+    root). All ``.mat`` class labels are 1-based."""
+    import numpy as np
+    from scipy.io import loadmat
+
+    meta = loadmat(os.path.join(root, "devkit", "cars_meta.mat"),
+                   squeeze_me=True)
+    classes = [str(c) for c in meta["class_names"]]
+    if split == "train":
+        annos_path = os.path.join(root, "devkit", "cars_train_annos.mat")
+        img_dir = os.path.join(root, "cars_train")
+    else:
+        img_dir = os.path.join(root, "cars_test")
+        for annos_path in (
+                os.path.join(root, "cars_test_annos_withlabels.mat"),
+                os.path.join(root, "devkit",
+                             "cars_test_annos_withlabels.mat")):
+            if os.path.exists(annos_path):
+                break
+        else:
+            raise FileNotFoundError(
+                f"cars_test_annos_withlabels.mat not found at {root!r} or "
+                "its devkit/ — the plain cars_test_annos.mat carries no "
+                "labels and cannot build an eval split")
+    annos = loadmat(annos_path, squeeze_me=True)["annotations"]
+    items = []
+    for a in np.atleast_1d(annos):
+        label = int(a["class"]) - 1  # .mat labels are 1-based
+        items.append((os.path.join(img_dir, str(a["fname"])), label,
+                      classes[label]))
+    return items, classes
+
+
+def collect_oxford_flowers102(root: str, split: str):
+    """Oxford Flowers-102 layout: ``jpg/image_XXXXX.jpg`` +
+    ``imagelabels.mat`` (1-based labels for all 8,189 images, 1-indexed by
+    image id) + ``setid.mat`` (``trnid``/``valid``/``tstid`` image-id
+    lists). The published fine-tuning protocol trains on trn+val (2,040
+    images) and evaluates on tst (6,149) — matching DatasetInfo. No class
+    names are published; labels double as the text field."""
+    import numpy as np
+    from scipy.io import loadmat
+
+    labels = np.atleast_1d(
+        loadmat(os.path.join(root, "imagelabels.mat"),
+                squeeze_me=True)["labels"])
+    setid = loadmat(os.path.join(root, "setid.mat"), squeeze_me=True)
+    if split == "train":
+        ids = np.concatenate([np.atleast_1d(setid["trnid"]),
+                              np.atleast_1d(setid["valid"])])
+    else:
+        ids = np.atleast_1d(setid["tstid"])
+    classes = [f"class_{i:03d}" for i in range(1, 103)]
+    items = []
+    for i in ids:
+        label = int(labels[int(i) - 1]) - 1  # both ids and labels 1-based
+        items.append((os.path.join(root, "jpg", f"image_{int(i):05d}.jpg"),
+                      label, classes[label]))
+    return items, classes
+
+
+def collect_fgvc_aircraft(root: str, split: str):
+    """FGVC-Aircraft-2013b *variant* task layout: ``data/images/<id>.jpg``,
+    ``data/variants.txt`` (100 class names, one per line),
+    ``data/images_variant_trainval.txt`` / ``images_variant_test.txt``
+    (``<image id> <variant>`` lines; variant names contain spaces). Accepts
+    ``root`` as either the archive top (containing ``data/``) or the
+    ``data/`` directory itself."""
+    data = (root if os.path.isdir(os.path.join(root, "images"))
+            else os.path.join(root, "data"))
+    with open(os.path.join(data, "variants.txt")) as f:
+        classes = [ln.strip() for ln in f if ln.strip()]
+    index = {c: i for i, c in enumerate(classes)}
+    name = ("images_variant_trainval.txt" if split == "train"
+            else "images_variant_test.txt")
+    items = []
+    with open(os.path.join(data, name)) as f:
+        for ln in f:
+            ln = ln.strip()
+            if not ln:
+                continue
+            img_id, variant = ln.split(None, 1)
+            items.append((os.path.join(data, "images", img_id + ".jpg"),
+                          index[variant], variant))
+    return items, classes
+
+
+def collect_oxford_iiit_pets(root: str, split: str):
+    """Oxford-IIIT Pets layout: ``images/*.jpg`` +
+    ``annotations/trainval.txt`` / ``test.txt`` with
+    ``<image> <class-id> <species> <breed-id>`` lines (class ids 1-based,
+    1..37). The breed name is the image-name prefix; the class id comes
+    from the file itself, so indices cannot shift between splits."""
+    name = "trainval.txt" if split == "train" else "test.txt"
+    names: dict[int, str] = {}
+    entries = []
+    with open(os.path.join(root, "annotations", name)) as f:
+        for ln in f:
+            ln = ln.strip()
+            if not ln or ln.startswith("#"):
+                continue
+            img, cid = ln.split()[:2]
+            cid = int(cid)
+            names[cid] = img.rsplit("_", 1)[0]
+            entries.append((img, cid))
+    n = max(names)
+    classes = [names.get(i, f"class_{i}") for i in range(1, n + 1)]
+    items = [(os.path.join(root, "images", img + ".jpg"), cid - 1,
+              classes[cid - 1]) for img, cid in entries]
+    return items, classes
+
+
+FGVC_LAYOUTS = {
+    "food101": collect_food101,
+    "cub200": collect_cub200,
+    "stanford_cars": collect_stanford_cars,
+    "oxford_flowers102": collect_oxford_flowers102,
+    "fgvc_aircraft": collect_fgvc_aircraft,
+    "oxford_iiit_pets": collect_oxford_iiit_pets,
+}
+
+
 def resolve_label_offset(dataset: str | None, explicit: int | None,
                          num_classes_found: int) -> int:
     """Offset from the registry (background class only for ImageNet-style
@@ -184,11 +310,15 @@ def main(argv=None):
                    help="override the registry-derived offset (default: "
                         "1 for ImageNet's 1001-way head, else 0)")
     p.add_argument("--layout", default="folders",
-                   choices=("folders", "food101", "cub200", "imagenet_val"),
+                   choices=("folders", *sorted(FGVC_LAYOUTS), "imagenet_val"),
                    help="on-disk source layout: 'folders' = "
                         "<input_dir>/<split>/<class>/*.jpg; 'food101' = the "
                         "published Food-101 archive (images/ + meta/*.txt); "
                         "'cub200' = CUB-200-2011 (images.txt etc.); "
+                        "'stanford_cars' = devkit .mat annotations; "
+                        "'oxford_flowers102' = imagelabels.mat + setid.mat; "
+                        "'fgvc_aircraft' = images_variant_*.txt; "
+                        "'oxford_iiit_pets' = annotations/*.txt; "
                         "'imagenet_val' = flat JPEG dir + --val_labels")
     p.add_argument("--val_labels", default="",
                    help="imagenet_val layout: ground-truth file, one class "
@@ -222,10 +352,9 @@ def main(argv=None):
                                       len(classes))
         items, classes = collect_images(split_dir, label_offset=offset)
     else:
-        if args.layout == "food101":
-            items, classes = collect_food101(args.input_dir, args.split)
-        elif args.layout == "cub200":
-            items, classes = collect_cub200(args.input_dir, args.split)
+        if args.layout in FGVC_LAYOUTS:
+            items, classes = FGVC_LAYOUTS[args.layout](args.input_dir,
+                                                       args.split)
         else:  # imagenet_val
             if not args.val_labels:
                 p.error("--layout=imagenet_val requires --val_labels")
@@ -241,8 +370,7 @@ def main(argv=None):
     # (DatasetInfo.eval_prefix == 'validation'): the FGVC archives name their
     # eval split 'test', imagenet_val is an eval split by definition
     is_eval = (args.split.startswith("val") or args.layout == "imagenet_val"
-               or (args.layout in ("food101", "cub200")
-                   and args.split != "train"))
+               or (args.layout in FGVC_LAYOUTS and args.split != "train"))
     prefix = args.prefix or ("validation" if is_eval else args.split)
     n = write_shards(items, args.output_dir, prefix, args.num_shards,
                      shuffle_seed=0 if args.split == "train" else None)

@@ -535,6 +535,118 @@ class TestDatasetLayouts:
                     "--layout=cub200", "--split=test", "--num_shards=1"])
         assert self._read_labels(str(out), "validation") == [(0, "001.Crow")]
 
+    def test_stanford_cars_layout(self, tmp_path):
+        from axcnn.data.build_tfrecords import main as build_main
+
+        from scipy.io import savemat
+
+        rng = np.random.default_rng(7)
+        root = tmp_path / "cars"
+        os.makedirs(root / "devkit", exist_ok=True)
+        savemat(str(root / "devkit" / "cars_meta.mat"),
+                {"class_names": np.array(["AM Hornet", "Acura RL"],
+                                         dtype=object)})
+        annos = np.array([(2, "00001.jpg"), (1, "00002.jpg")],
+                         dtype=[("class", "i4"), ("fname", "O")])
+        savemat(str(root / "devkit" / "cars_train_annos.mat"),
+                {"annotations": annos})
+        # the with-labels test annotations ship separately at the root
+        savemat(str(root / "cars_test_annos_withlabels.mat"),
+                {"annotations": np.array([(1, "00003.jpg")],
+                                         dtype=annos.dtype)})
+        for d, fns in (("cars_train", ("00001.jpg", "00002.jpg")),
+                       ("cars_test", ("00003.jpg",))):
+            for fn in fns:
+                self._jpg(str(root / d / fn), rng)
+        out = tmp_path / "out"
+        build_main([f"--input_dir={root}", f"--output_dir={out}",
+                    "--layout=stanford_cars", "--split=train",
+                    "--num_shards=1"])
+        got = sorted(self._read_labels(str(out), "train"))
+        assert got == [(0, "AM Hornet"), (1, "Acura RL")]  # 1-based .mat
+        build_main([f"--input_dir={root}", f"--output_dir={out}",
+                    "--layout=stanford_cars", "--split=test",
+                    "--num_shards=1"])
+        assert self._read_labels(str(out), "validation") == [(0, "AM Hornet")]
+
+    def test_oxford_flowers102_layout(self, tmp_path):
+        from axcnn.data.build_tfrecords import main as build_main
+
+        from scipy.io import savemat
+
+        rng = np.random.default_rng(8)
+        root = tmp_path / "flowers"
+        os.makedirs(root, exist_ok=True)
+        # 4 images; labels 1-based; train = trnid+valid, eval = tstid
+        savemat(str(root / "imagelabels.mat"),
+                {"labels": np.array([5, 1, 102, 5])})
+        savemat(str(root / "setid.mat"),
+                {"trnid": np.array([2]), "valid": np.array([4]),
+                 "tstid": np.array([1, 3])})
+        for i in range(1, 5):
+            self._jpg(str(root / "jpg" / f"image_{i:05d}.jpg"), rng)
+        out = tmp_path / "out"
+        build_main([f"--input_dir={root}", f"--output_dir={out}",
+                    "--layout=oxford_flowers102", "--split=train",
+                    "--num_shards=1"])
+        got = sorted(self._read_labels(str(out), "train"))
+        assert got == [(0, "class_001"), (4, "class_005")]
+        build_main([f"--input_dir={root}", f"--output_dir={out}",
+                    "--layout=oxford_flowers102", "--split=test",
+                    "--num_shards=1"])
+        got = sorted(self._read_labels(str(out), "validation"))
+        assert got == [(4, "class_005"), (101, "class_102")]
+
+    def test_fgvc_aircraft_layout(self, tmp_path):
+        from axcnn.data.build_tfrecords import main as build_main
+
+        rng = np.random.default_rng(9)
+        root = tmp_path / "aircraft"
+        data = root / "data"
+        os.makedirs(data, exist_ok=True)
+        (data / "variants.txt").write_text("707-320\nA320\n")
+        # variant names contain spaces in the real archive; ids are numeric
+        (data / "images_variant_trainval.txt").write_text(
+            "0034309 A320\n0034958 707-320\n")
+        (data / "images_variant_test.txt").write_text("1025794 A320\n")
+        for img_id in ("0034309", "0034958", "1025794"):
+            self._jpg(str(data / "images" / (img_id + ".jpg")), rng)
+        out = tmp_path / "out"
+        # root may be the archive top (containing data/) ...
+        build_main([f"--input_dir={root}", f"--output_dir={out}",
+                    "--layout=fgvc_aircraft", "--split=train",
+                    "--num_shards=1"])
+        got = sorted(self._read_labels(str(out), "train"))
+        assert got == [(0, "707-320"), (1, "A320")]
+        # ... or the data/ directory itself
+        build_main([f"--input_dir={data}", f"--output_dir={out}",
+                    "--layout=fgvc_aircraft", "--split=test",
+                    "--num_shards=1"])
+        assert self._read_labels(str(out), "validation") == [(1, "A320")]
+
+    def test_oxford_iiit_pets_layout(self, tmp_path):
+        from axcnn.data.build_tfrecords import main as build_main
+
+        rng = np.random.default_rng(10)
+        root = tmp_path / "pets"
+        os.makedirs(root / "annotations", exist_ok=True)
+        (root / "annotations" / "trainval.txt").write_text(
+            "#Image CLASS-ID SPECIES BREED ID\n"
+            "Abyssinian_100 1 1 1\nbeagle_27 4 2 1\n")
+        (root / "annotations" / "test.txt").write_text("beagle_3 4 2 1\n")
+        for img in ("Abyssinian_100", "beagle_27", "beagle_3"):
+            self._jpg(str(root / "images" / (img + ".jpg")), rng)
+        out = tmp_path / "out"
+        build_main([f"--input_dir={root}", f"--output_dir={out}",
+                    "--layout=oxford_iiit_pets", "--split=train",
+                    "--num_shards=1"])
+        got = sorted(self._read_labels(str(out), "train"))
+        assert got == [(0, "Abyssinian"), (3, "beagle")]  # 1-based class ids
+        build_main([f"--input_dir={root}", f"--output_dir={out}",
+                    "--layout=oxford_iiit_pets", "--split=test",
+                    "--num_shards=1"])
+        assert self._read_labels(str(out), "validation") == [(3, "beagle")]
+
     def test_imagenet_val_layout(self, tmp_path):
         from axcnn.data.build_tfrecords import main as build_main
 
