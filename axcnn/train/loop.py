@@ -276,9 +276,21 @@ def run(cfg: Config):
                 f"spatial={spatial} must divide the per-host device count "
                 f"({jax.local_device_count()}) so halo neighbors stay on-host "
                 "rows")
+    if cfg.runtime.dcn_slices > 1 and spatial > 1:
+        raise ValueError(
+            "dcn_slices > 1 cannot combine with spatial_partitions > 1")
     dp_shards = n_dev // spatial
     use_mesh = n_dev > 1 and spatial == 1
-    mesh = make_mesh(n_dev) if use_mesh else None
+    mesh = None
+    if use_mesh:
+        from axcnn.parallel.mesh import detect_num_slices, make_hierarchical_mesh
+
+        sel = devices[:n_dev]
+        dcn = cfg.runtime.dcn_slices or detect_num_slices(sel)
+        # multi-slice pod: hierarchical (dcn, data) mesh so the gradient
+        # all-reduce stays on ICI inside each slice and crosses DCN once
+        mesh = (make_hierarchical_mesh(dcn, devices=sel) if dcn > 1
+                else make_mesh(n_dev))
     active_mesh = mesh  # replaced by the spatial mesh below when spatial > 1
     if cfg.train.batch_size % max(dp_shards, 1):
         raise ValueError(
@@ -318,7 +330,9 @@ def run(cfg: Config):
         weight_decay=cfg.train.weight_decay,
         momentum=cfg.train.momentum, use_ema=cfg.train.use_ema,
         ema_decay=cfg.train.ema_decay,
-        axis_name=DATA_AXIS if use_mesh else None,
+        axis_name=(None if mesh is None
+                   else DATA_AXIS if len(mesh.axis_names) == 1
+                   else tuple(mesh.axis_names)),
         teacher=teacher, kd_temp=cfg.train.kd_temp, kd_alpha=cfg.train.kd_alpha,
         mean_rgb=info.mean_rgb, stddev_rgb=info.stddev_rgb,
         autoaugment_fn=autoaugment_fn)

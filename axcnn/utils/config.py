@@ -107,6 +107,12 @@ class RuntimeConfig:
     # the per-host device count so each (data, spatial) mesh row stays on
     # one host.
     spatial_partitions: int = 1
+    # Multi-slice data parallelism (axcnn/parallel/mesh.py
+    # make_hierarchical_mesh): 0 = auto-detect the pod's slice count and
+    # build a (dcn, data) mesh when >1 so gradient all-reduces run
+    # hierarchically (ICI inside each slice, one cross-slice DCN exchange);
+    # 1 = force the flat single-axis mesh; N = force N slice groups.
+    dcn_slices: int = 0
     profile_steps: int = 0  # >0: wrap N steps in jax.profiler.trace
     tensorboard: bool = False  # also write TB scalar summaries to <model_dir>/tb
     eval_only: bool = False
