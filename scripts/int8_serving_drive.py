@@ -38,7 +38,7 @@ def main():
 
     print(f"devices: {jax.devices()}", flush=True)
     root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/axcnn_convergence_full"
-    pre_dir = os.path.join(root, "pre")
+    pre_dir = os.path.join(root, "pre", "rec")
     cfg = ModelConfig(resnet_size=50, num_classes=10, use_resnet_d=True,
                       use_se_block=True, use_sk_block=True,
                       anti_alias_type="sconv", use_dropblock=True,
