@@ -12,6 +12,23 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Reuse the parent suite's compile cache: the 1-core box takes minutes to
+# compile the train step cold, and the test's "first train step" deadline
+# assumes a warm cache.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      "/root/.cache/axcnn_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
+
+# The env var alone is NOT enough: the axon PJRT plugin prepends itself to
+# jax_platforms ("axon,cpu" → TPU wins), so a worker that relies on
+# JAX_PLATFORMS=cpu silently initializes the tunneled TPU client — and the
+# tunnel is single-client, so the worker can block in make_c_api_client for
+# the test's whole 600 s deadline. Force CPU via the config API, which the
+# plugin cannot override (same pattern as tests/conftest.py).
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 
 def main():
