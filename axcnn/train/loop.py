@@ -335,7 +335,8 @@ def run(cfg: Config):
                    else tuple(mesh.axis_names)),
         teacher=teacher, kd_temp=cfg.train.kd_temp, kd_alpha=cfg.train.kd_alpha,
         mean_rgb=info.mean_rgb, stddev_rgb=info.stddev_rgb,
-        autoaugment_fn=autoaugment_fn)
+        autoaugment_fn=autoaugment_fn,
+        grad_accum_steps=cfg.train.grad_accum_steps)
     eval_step = make_eval_step(
         cfg.model, policy=policy, use_ema=cfg.train.use_ema,
         mean_rgb=info.mean_rgb, stddev_rgb=info.stddev_rgb)

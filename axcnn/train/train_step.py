@@ -96,13 +96,36 @@ def make_train_step(
     mean_rgb=None,
     stddev_rgb=None,
     autoaugment_fn=None,  # on-device AutoAugment (data.autoaugment_device)
+    grad_accum_steps: int = 1,
 ):
     """Builds ``train_step(state, batch, root_key) -> (state, metrics)``.
 
     ``batch`` = {'images': uint8 NHWC, 'labels': int32 N}. ``root_key`` is a
     jax PRNG key; per-step streams are folded from it (deterministic resume:
     the key never advances, the step index does).
+
+    ``grad_accum_steps`` > 1 splits the batch into that many micro-batches
+    and runs them through a ``lax.scan`` — activation memory drops to one
+    micro-batch (the capacity lever that composes with ``remat='blocks'``
+    for batch sizes no single chip could hold), one optimizer/EMA update per
+    step. Semantics under accumulation: gradients are the mean over
+    micro-batches; BN batch statistics are per-micro-batch with moving stats
+    updated sequentially (the same per-replica-BN semantic the reference's
+    MirroredStrategy gives each GPU, here along the accumulation axis);
+    mixup draws one lambda per micro-batch and mixes within it; DropBlock /
+    device-AA randomness is folded per micro-batch. The default path
+    (``grad_accum_steps == 1``) is unchanged.
+
+    Keep the micro-batch large enough for BN: batch statistics are computed
+    per micro-batch, and BN gradients scale as 1/sigma_micro — with few
+    samples-per-channel (micro_batch x H x W at the deepest stage) the
+    variance estimate collapses and gradients explode (measured: micro=2 at
+    32x32 input, where stage 4 is 1x1 spatial, blows grads up 10^6x; at the
+    production 224x224 geometry stage 4 contributes 7x7=49 samples per
+    image and micro-batches >= 8 are well-conditioned).
     """
+    if grad_accum_steps < 1:
+        raise ValueError(f"grad_accum_steps must be >= 1, got {grad_accum_steps}")
 
     def train_step(state: TrainState, batch, root_key):
         step = state.step
@@ -161,6 +184,13 @@ def make_train_step(
         (loss, (logits, new_mstate)), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
 
+        top1 = jnp.mean(
+            (jnp.argmax(logits, -1) == batch["labels"]).astype(jnp.float32))
+        return _apply_update(state, grads, loss, new_mstate, top1,
+                             jnp.asarray(lam, jnp.float32))
+
+    def _apply_update(state, grads, loss, new_mstate, top1, lam_metric):
+        step = state.step
         if axis_name is not None:
             grads = jax.lax.pmean(grads, axis_name)
             loss = jax.lax.pmean(loss, axis_name)
@@ -182,14 +212,14 @@ def make_train_step(
         metrics = {
             "loss": loss,
             "lr": lr,
-            "train_top1": jnp.mean(
-                (jnp.argmax(logits, -1) == batch["labels"]).astype(jnp.float32)),
+            "train_top1": top1,
         }
         if mixup_alpha > 0:
             # observability + semantics pin: with the default (reference)
             # global-lambda mixup this equals the single shared draw on every
-            # shard; with mixup_per_shard it is the shard mean
-            metrics["mixup_lam"] = jnp.asarray(lam, jnp.float32)
+            # shard; with mixup_per_shard it is the shard mean (and under
+            # grad accumulation, the micro-batch mean)
+            metrics["mixup_lam"] = lam_metric
         if axis_name is not None:
             metrics["train_top1"] = jax.lax.pmean(metrics["train_top1"], axis_name)
             if "mixup_lam" in metrics:
@@ -204,7 +234,81 @@ def make_train_step(
         )
         return new_state, metrics
 
-    return train_step
+    def accum_train_step(state: TrainState, batch, root_key):
+        A = grad_accum_steps
+        step = state.step
+        rng_global = RngStream(root_key).fold_step(step)
+        rng = rng_global
+        if axis_name is not None:
+            rng = RngStream(jax.random.fold_in(
+                rng_global("shard"), jax.lax.axis_index(axis_name)))
+        n = batch["images"].shape[0]
+        if n % A:
+            raise ValueError(
+                f"per-shard batch {n} not divisible by grad_accum_steps {A}")
+        images_u8 = batch["images"].reshape(
+            (A, n // A) + batch["images"].shape[1:])
+        labels_all = batch["labels"].reshape((A, n // A))
+        progress = step.astype(jnp.float32) / max(total_steps, 1)
+        bn_axis = axis_name if sync_bn else None
+        # two per-micro bases: shard-folded for per-sample stochasticity,
+        # pre-fold for the (reference-global) mixup lambda stream
+        accum_base = rng("accum")
+        accum_base_global = rng_global("accum")
+
+        def micro(carry, xs):
+            mstate, gsum, loss_sum, top1_sum, lam_sum = carry
+            i, raw, labels = xs
+            rng_i = RngStream(jax.random.fold_in(accum_base, i))
+            if autoaugment_fn is not None:
+                raw = autoaugment_fn(rng_i("autoaugment"), raw)
+            images = normalize_device(raw, mean_rgb, stddev_rgb)
+            if mixup_alpha > 0:
+                mix_rng = rng_i if mixup_per_shard else RngStream(
+                    jax.random.fold_in(accum_base_global, i))
+                images, labels_a, labels_b, lam = mixup_batch(
+                    mix_rng("mixup"), images, labels, alpha=mixup_alpha,
+                    symmetric=mixup_symmetric)
+            else:
+                labels_a, labels_b, lam = labels, None, 1.0
+
+            def loss_fn(params):
+                logits, new_mstate = resnet_apply(
+                    params, mstate, images, cfg=cfg, train=True,
+                    policy=policy, rng=rng_i, progress=progress,
+                    axis_name=bn_axis)
+                loss = softmax_ce_loss(
+                    logits, labels_a, labels_b, lam,
+                    label_smoothing=label_smoothing)
+                if teacher is not None:
+                    t_cfg, t_params, t_state = teacher
+                    t_logits, _ = resnet_apply(
+                        t_params, t_state, images, cfg=t_cfg, train=False,
+                        policy=policy)
+                    loss = loss + kd_alpha * kd_loss(
+                        logits, jax.lax.stop_gradient(t_logits),
+                        temperature=kd_temp)
+                return loss, (logits, new_mstate)
+
+            (loss, (logits, new_mstate)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
+            top1 = jnp.mean(
+                (jnp.argmax(logits, -1) == labels).astype(jnp.float32))
+            gsum = jax.tree.map(jnp.add, gsum, grads)
+            return (new_mstate, gsum, loss_sum + loss, top1_sum + top1,
+                    lam_sum + jnp.asarray(lam, jnp.float32)), None
+
+        zero = jnp.zeros((), jnp.float32)
+        carry0 = (state.model_state,
+                  jax.tree.map(jnp.zeros_like, state.params),
+                  zero, zero, zero)
+        (new_mstate, gsum, loss_sum, top1_sum, lam_sum), _ = jax.lax.scan(
+            micro, carry0, (jnp.arange(A), images_u8, labels_all))
+        grads = jax.tree.map(lambda g: g / A, gsum)
+        return _apply_update(state, grads, loss_sum / A, new_mstate,
+                             top1_sum / A, lam_sum / A)
+
+    return train_step if grad_accum_steps == 1 else accum_train_step
 
 
 def make_eval_step(

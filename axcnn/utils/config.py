@@ -60,6 +60,13 @@ class DataConfig:
 @dataclasses.dataclass
 class TrainConfig:
     batch_size: int = 256  # GLOBAL batch (split across data-parallel shards)
+    # Gradient accumulation: run each (per-shard) batch as this many
+    # micro-batches through a lax.scan — activation memory drops to one
+    # micro-batch (composes with --model.remat=blocks for effective batches
+    # no chip could hold). One optimizer/EMA update per step; BN batch stats
+    # are per-micro-batch (the reference's per-replica-BN semantic, here
+    # along the accumulation axis). Per-shard batch must divide evenly.
+    grad_accum_steps: int = 1
     train_epochs: int = 90
     train_steps: int = 0  # >0 overrides epochs (debug/bench)
     epochs_between_evals: int = 1

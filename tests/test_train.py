@@ -422,3 +422,75 @@ class TestConfig:
         np.testing.assert_allclose(out["ce/gaussian_noise"], 100.0)
         np.testing.assert_allclose(out["ce/fog"], 50.0)
         np.testing.assert_allclose(out["mce"], 75.0)
+
+
+class TestGradAccum:
+    def test_duplicated_halves_match_single_step(self):
+        """With the second half of the batch identical to the first, per-
+        micro BN statistics equal full-batch statistics, so accum=2 must
+        produce the same parameter update as accum=1 (zero_gamma conditions
+        the backward against fp32 reassociation noise; model_state is
+        excluded — accumulation applies the BN moving-average twice by
+        design)."""
+        cfg = ModelConfig(resnet_size=50, num_classes=10, zero_gamma=True)
+        half = _small_batch(n=4)
+        batch = {
+            "images": np.concatenate([half["images"], half["images"]]),
+            "labels": np.concatenate([half["labels"], half["labels"]]),
+        }
+        key = jax.random.key(3)
+        s1 = create_train_state(jax.random.key(0), cfg, use_ema=True)
+        s1, m1 = jax.jit(_mk_step(cfg))(s1, batch, key)
+        s2 = create_train_state(jax.random.key(0), cfg, use_ema=True)
+        s2, m2 = jax.jit(_mk_step(cfg, grad_accum_steps=2))(s2, batch, key)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=2e-4),
+            s1.params, s2.params)
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=1e-4)
+        np.testing.assert_allclose(float(m1["train_top1"]),
+                                   float(m2["train_top1"]))
+
+    def test_stochastic_stack_runs_and_learns(self):
+        """Micro-batch 8 — the documented BN floor (micro=2 at this 32x32
+        geometry leaves stage 4 with 2 samples/channel and provably explodes;
+        see make_train_step docstring)."""
+        cfg = ModelConfig(resnet_size=50, num_classes=10, use_dropblock=True,
+                          use_se_block=True)
+        step_fn = jax.jit(_mk_step(cfg, grad_accum_steps=2, mixup_alpha=0.2))
+        state = create_train_state(jax.random.key(0), cfg, use_ema=True)
+        batch = _small_batch(n=16)
+        losses = []
+        for _ in range(4):
+            state, metrics = step_fn(state, batch, jax.random.key(7))
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all() and losses[-1] < losses[0]
+        assert "mixup_lam" in metrics
+
+    def test_rejects_bad_factor_and_indivisible_batch(self):
+        with pytest.raises(ValueError, match="grad_accum_steps"):
+            _mk_step(grad_accum_steps=0)
+        step_fn = _mk_step(grad_accum_steps=3)
+        state = create_train_state(jax.random.key(0), SMALL, use_ema=True)
+        with pytest.raises(ValueError, match="not divisible"):
+            step_fn(state, _small_batch(n=8), jax.random.key(0))
+
+    def test_loop_integration(self, tmp_path):
+        import dataclasses
+
+        from axcnn.train.loop import run
+        from axcnn.utils.config import (Config, DataConfig, RuntimeConfig,
+                                        TrainConfig)
+
+        cfg = Config(
+            model=ModelConfig(resnet_size=50, num_classes=1001),
+            data=DataConfig(dataset_name="imagenet", use_synthetic_data=True,
+                            image_size=32),
+            train=TrainConfig(batch_size=4, train_steps=2, base_lr=0.01,
+                              lr_warmup_epochs=0, dtype="fp32", log_every=1,
+                              use_ema=True, seed=0, grad_accum_steps=2),
+            runtime=RuntimeConfig(model_dir=str(tmp_path / "run"),
+                                  num_devices=1),
+        )
+        m = run(cfg)
+        assert m["count"] > 0
