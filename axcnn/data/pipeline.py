@@ -320,6 +320,44 @@ class SyntheticLoader:
             i += 1
 
 
+class EchoIterator:
+    """Data echoing (Choi et al. 2019): yield each upstream item ``factor``
+    times. Wrapped AROUND DevicePrefetch so the echoed batch is already on
+    device — host decode, augment, and transfer all drop to 1/factor while
+    the chip sees a batch every step. Per-step randomness (mixup, DropBlock,
+    device AutoAugment) is folded from the step index inside the train step,
+    so echoed steps are not identical replays.
+
+    ``consumed_state`` passes through from the wrapped iterator and only
+    advances when a FRESH batch is pulled — a checkpoint taken mid-group
+    resumes at the group's start (≤ factor-1 steps of echo drift, documented
+    in DataConfig.echo_factor).
+    """
+
+    def __init__(self, iterator, factor: int):
+        if factor < 1:
+            raise ValueError(f"echo_factor must be >= 1, got {factor}")
+        self._it = iter(iterator)
+        self._inner = iterator
+        self._factor = factor
+        self._left = 0
+        self._batch = None
+
+    @property
+    def consumed_state(self):
+        return getattr(self._inner, "consumed_state", None)
+
+    def __iter__(self):
+        return self
+
+    def __next__(self):
+        if self._left == 0:
+            self._batch = next(self._it)
+            self._left = self._factor
+        self._left -= 1
+        return self._batch
+
+
 class DevicePrefetch:
     """Background-thread device prefetch: keeps ``size`` batches in flight.
 

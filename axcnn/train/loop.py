@@ -421,6 +421,12 @@ def run(cfg: Config):
     train_iter = device_prefetch(iter(train_loader), size=cfg.data.prefetch,
                                  sharding=sharding,
                                  state_fn=lambda: train_loader.state)
+    if cfg.data.echo_factor > 1:
+        # data echoing: the wrapper sits ABOVE device_prefetch so repeats are
+        # free on the host side (batch already resident on device)
+        from axcnn.data.pipeline import EchoIterator
+
+        train_iter = EchoIterator(train_iter, cfg.data.echo_factor)
     # Preemption-safe shutdown (beyond the reference's crash-resume): SIGTERM
     # — the grace signal every cluster manager sends before killing — sets a
     # flag; the loop finishes the in-flight step, saves the exact consumed

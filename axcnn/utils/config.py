@@ -55,6 +55,17 @@ class DataConfig:
     shuffle_buffer: int = 4096
     prefetch: int = 2
     loader: str = "python"  # python | cpp (native loader, cpp/)
+    # Data echoing (Choi et al. 2019, arXiv:1907.05550): feed each loaded
+    # batch to ``echo_factor`` consecutive train steps. A TPU-first lever for
+    # host-bound input pipelines (the echoed batch is already ON DEVICE — the
+    # host and PCIe/tunnel see 1/factor of the traffic). Per-step RNG is
+    # folded from the step index, so every echoed step draws fresh
+    # mixup/DropBlock — and, with --data.autoaugment_device, fresh
+    # AutoAugment — randomness ("echoing before augmentation", the variant
+    # the paper finds nearly cost-free). Steps-per-epoch accounting is
+    # step-based: one data epoch now spans factor x steps_per_epoch steps.
+    # Resume granularity coarsens to the echo group (≤ factor-1 steps).
+    echo_factor: int = 1
 
 
 @dataclasses.dataclass

@@ -700,3 +700,46 @@ class TestDatasetLayouts:
         labels.write_text("1\n2\n")
         with pytest.raises(ValueError, match="2 labels"):
             collect_imagenet_val(str(root), str(labels))
+
+
+class TestEchoIterator:
+    def test_repeats_each_batch_factor_times(self):
+        from axcnn.data.pipeline import EchoIterator
+
+        src = iter([{"i": np.array([k])} for k in range(3)])
+        got = [b["i"][0] for b in EchoIterator(src, 3)]
+        assert got == [0, 0, 0, 1, 1, 1, 2, 2, 2]
+
+    def test_factor_one_is_passthrough(self):
+        from axcnn.data.pipeline import EchoIterator
+
+        src = iter([1, 2, 3])
+        assert list(EchoIterator(src, 1)) == [1, 2, 3]
+
+    def test_rejects_factor_below_one(self):
+        from axcnn.data.pipeline import EchoIterator
+
+        with pytest.raises(ValueError, match="echo_factor"):
+            EchoIterator(iter([]), 0)
+
+    def test_consumed_state_advances_per_fresh_batch(self, tmp_path):
+        """consumed_state tracks the FRESH batch under the echo group: a
+        checkpoint taken mid-group resumes at the group's start."""
+        from axcnn.data.pipeline import EchoIterator, device_prefetch
+
+        data_dir, info = _make_dataset(tmp_path)
+        loader = TFRecordImageLoader(data_dir, info, batch_size=4, train=True,
+                                     image_size=32, seed=9, num_workers=2)
+        pf = device_prefetch(iter(loader), size=2,
+                             state_fn=lambda: loader.state)
+        echo = EchoIterator(pf, factor=3)
+        seen = []
+        for step in range(6):  # two echo groups
+            b = next(echo)
+            seen.append(np.asarray(b["labels"]))
+            # during group k the consumed position is k+1 source batches
+            assert echo.consumed_state.batches_yielded == step // 3 + 1
+        # repeats are the identical arrays, groups differ
+        np.testing.assert_array_equal(seen[0], seen[2])
+        np.testing.assert_array_equal(seen[3], seen[5])
+        assert not np.array_equal(seen[0], seen[3])

@@ -267,3 +267,45 @@ class TestRunLoop:
         imgs = np.zeros((8, 32, 32, 3), np.uint8)
         logits = np.asarray(fn(imgs))
         assert logits.shape == (8, 1001)
+
+
+class TestDataEchoing:
+    def test_echo_trains_and_logs(self, tmp_path):
+        """--data.echo_factor=2: the loop runs the full step budget while
+        pulling half the batches from the loader (DataConfig.echo_factor)."""
+        from axcnn.train.loop import run
+
+        cfg = _tiny_cfg(tmp_path, train_steps=4)
+        cfg.data = dataclasses.replace(cfg.data, echo_factor=2)
+        m = run(cfg)
+        assert m["count"] > 0
+        body = open(os.path.join(cfg.runtime.model_dir,
+                                 "metrics.jsonl")).read()
+        # all 4 train steps executed (echoing repeats batches, not steps)
+        assert body.count('"tag": "train"') >= 4
+
+    def test_echoed_steps_are_not_identical_replays(self, tmp_path):
+        """Per-step RNG folds the step index, so two steps on the SAME echoed
+        batch produce different updates (mixup/DropBlock keep moving)."""
+        import jax
+        from axcnn.core.dtypes import DEFAULT_POLICY
+        from axcnn.models.resnet import ModelConfig as MC
+        from axcnn.train.schedules import make_lr_schedule
+        from axcnn.train.train_step import create_train_state, make_train_step
+
+        cfg = MC(resnet_size=50, num_classes=5, use_dropblock=True,
+                 dropblock_keep_prob=0.8)
+        step = make_train_step(
+            cfg, lr_schedule=make_lr_schedule(base_lr=0.1, total_steps=10,
+                                              warmup_steps=0),
+            total_steps=10, policy=DEFAULT_POLICY, mixup_alpha=0.2,
+            use_ema=False)
+        state = create_train_state(jax.random.key(0), cfg, use_ema=False)
+        rng = np.random.default_rng(0)
+        batch = {"images": rng.integers(0, 256, (4, 32, 32, 3), np.uint8),
+                 "labels": rng.integers(0, 5, (4,), np.int32)}
+        key = jax.random.key(1)
+        fn = jax.jit(step)
+        state, m1 = fn(state, batch, key)   # step 0 -> 1
+        _, m2 = fn(state, batch, key)       # step 1 on the SAME batch
+        assert float(m1["loss"]) != float(m2["loss"])
