@@ -16,8 +16,10 @@ storage while adding minimal extra artifact; ``jpeg_compression``'s own
 low-quality encode is already baked into its output pixels).
 
 Determinism: each (corruption, severity, record) triple gets its own
-``np.random.Generator`` seeded from ``--seed`` — output is independent of
-sharding and iteration order, and any subset regenerates identically.
+``np.random.Generator`` seeded from ``--seed`` and the corruption's STABLE
+index in ``CORRUPTION_FNS`` (not its position in the requested subset) —
+output is independent of sharding, iteration order, and which subset of
+corruptions a run requests, so any subset regenerates bit-identically.
 
 Example:
     python -m axcnn.data.build_imagenet_c \
@@ -28,6 +30,7 @@ Example:
 from __future__ import annotations
 
 import argparse
+import contextlib
 import io
 import os
 
@@ -57,33 +60,46 @@ def build_corrupted_set(data_dir: str, output_dir: str, *,
     for name in corruptions:
         if name not in CORRUPTION_FNS:
             raise ValueError(f"unknown corruption {name!r}")
+    # seed by the corruption's stable position in CORRUPTION_FNS so a subset
+    # run regenerates the same pixels as the full build
+    stable_index = {n: i for i, n in enumerate(CORRUPTION_FNS)}
     shards = list_shards(data_dir, prefix)
     total = 0
-    for ci, name in enumerate(corruptions):
-        for sev in severities:
-            out_dir = os.path.join(output_dir, name, str(sev))
-            os.makedirs(out_dir, exist_ok=True)
-            rec_idx = 0
-            for si, shard in enumerate(shards):
-                out_path = os.path.join(
-                    out_dir, f"{prefix}-{si:05d}-of-{len(shards):05d}")
-                with TFRecordWriter(out_path) as w:
-                    for payload in TFRecordReader(shard):
-                        feats = parse_example(payload)
-                        clean = preprocess_eval(
-                            bytes(feats["image/encoded"][0]),
-                            image_size=image_size, resize_min=resize_min)
+    # One decode+resize+crop per record, reused across all (corruption,
+    # severity) outputs — a full build is 75 variants per record and the
+    # clean-pixel preprocessing dominated generation time on a 1-core host.
+    with contextlib.ExitStack() as stack:
+        writers = {}
+        for name in corruptions:
+            for sev in severities:
+                out_dir = os.path.join(output_dir, name, str(sev))
+                os.makedirs(out_dir, exist_ok=True)
+                writers[(name, sev)] = [
+                    stack.enter_context(TFRecordWriter(os.path.join(
+                        out_dir, f"{prefix}-{si:05d}-of-{len(shards):05d}")))
+                    for si in range(len(shards))]
+        rec_idx = 0
+        for si, shard in enumerate(shards):
+            for payload in TFRecordReader(shard):
+                feats = parse_example(payload)
+                clean = preprocess_eval(
+                    bytes(feats["image/encoded"][0]),
+                    image_size=image_size, resize_min=resize_min)
+                out_feats = {k: v for k, v in feats.items()
+                             if k != "image/encoded"}
+                for name in corruptions:
+                    for sev in severities:
                         rng = np.random.default_rng(
-                            [seed, ci, sev, rec_idx])
+                            [seed, stable_index[name], sev, rec_idx])
                         bad = corrupt(clean, name, sev, rng)
-                        out_feats = {
-                            k: v for k, v in feats.items()
-                            if k != "image/encoded"}
                         out_feats["image/encoded"] = [
                             _encode_jpeg(bad, jpeg_quality)]
-                        w.write(make_example(out_feats))
-                        rec_idx += 1
+                        writers[(name, sev)][si].write(
+                            make_example(out_feats))
                         total += 1
+                rec_idx += 1
+    for name in corruptions:
+        for sev in severities:
             progress(f"{name}/{sev}: {rec_idx} examples "
                      f"-> {os.path.join(output_dir, name, str(sev))}")
     return total

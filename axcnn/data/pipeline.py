@@ -54,10 +54,13 @@ def _record_seeds(seed: int, epoch: int, idxs) -> np.ndarray:
     (seed, epoch, record_index). One vectorized hash per batch — the round-2
     per-record ``np.random.SeedSequence`` construction was a measured
     serial-section term of the producer thread (~8 us/record)."""
-    mix = (((seed & 0xFFFFFFFF) | 1) * 0x9E3779B97F4A7C15
-           + (epoch & 0xFFFFFFFF)) & (2**64 - 1)
-    base = _splitmix64(np.uint64(mix))
-    return _splitmix64(base + np.asarray(idxs, np.uint64))
+    # hash the full seed through splitmix64 before mixing in the epoch —
+    # an affine mix of (seed | 1) aliased every even seed with its odd
+    # successor, so seed sweeps shared half their augmentation streams
+    with np.errstate(over="ignore"):
+        base = _splitmix64(_splitmix64(np.uint64(seed & (2**64 - 1)))
+                           + np.uint64(epoch & (2**64 - 1)))
+        return _splitmix64(base + np.asarray(idxs, np.uint64))
 
 
 class TFRecordImageLoader:

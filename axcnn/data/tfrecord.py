@@ -145,8 +145,14 @@ class MmapShardReader:
         import mmap as _mmap
 
         self._path = path
-        with open(path, "rb") as f:
-            self._mm = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
+        # write_shards legitimately produces zero-byte shards (more shards
+        # than items); mmap(fd, 0) raises on an empty file, so treat them as
+        # zero records like TFRecordReader does
+        if os.path.getsize(path) == 0:
+            self._mm = b""
+        else:
+            with open(path, "rb") as f:
+                self._mm = _mmap.mmap(f.fileno(), 0, access=_mmap.ACCESS_READ)
         self._arr = np.frombuffer(self._mm, np.uint8)
 
     def __iter__(self):

@@ -37,7 +37,8 @@ DATA_AXIS = "data"
 SPATIAL_AXIS = "spatial"
 
 
-def order_spatial_devices(devices, spatial: int, data: int = 0) -> np.ndarray:
+def order_spatial_devices(devices, spatial: int, data: int = 0, *,
+                          sort: bool = True) -> np.ndarray:
     """Arrange devices into the (data, spatial) grid, host-contiguous rows.
 
     ``jax.devices()`` order is NOT guaranteed process-contiguous on a
@@ -47,9 +48,12 @@ def order_spatial_devices(devices, spatial: int, data: int = 0) -> np.ndarray:
     rows to cover its addressable devices. Sorting by (process_index, id)
     makes rows process-local whenever ``spatial`` divides the per-host device
     count (enforced in loop.py); a row that still spans hosts is an error,
-    not a silent DCN halo path.
+    not a silent DCN halo path. ``sort=False`` preserves the caller's
+    explicit ordering (e.g. hand-placed ICI adjacency) — the host-spanning
+    check below still applies.
     """
-    devices = sorted(devices, key=lambda d: (d.process_index, d.id))
+    if sort:
+        devices = sorted(devices, key=lambda d: (d.process_index, d.id))
     if spatial < 1:
         raise ValueError(f"spatial must be >= 1, got {spatial}")
     if len(devices) % spatial:
@@ -72,10 +76,15 @@ def make_spatial_mesh(spatial: int, data: int = 0, *, devices=None) -> Mesh:
 
     Keep ``spatial`` on the minor (fastest / most local) axis of the device
     order: halo exchange is nearest-neighbor traffic, so the spatially
-    adjacent shards should sit on ICI neighbors.
+    adjacent shards should sit on ICI neighbors. An explicitly passed
+    ``devices`` list is honored in the caller's order (hand-placed ICI
+    adjacency); only the default ``jax.devices()`` is re-sorted
+    host-contiguously.
     """
-    devices = list(devices if devices is not None else jax.devices())
-    return Mesh(order_spatial_devices(devices, spatial, data),
+    explicit = devices is not None
+    devices = list(devices) if explicit else list(jax.devices())
+    return Mesh(order_spatial_devices(devices, spatial, data,
+                                      sort=not explicit),
                 (DATA_AXIS, SPATIAL_AXIS))
 
 

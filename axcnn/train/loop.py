@@ -347,8 +347,13 @@ def run(cfg: Config):
             make_spatial_mesh, spatial_batch_sharding, spatial_eval_step,
             spatial_train_step)
 
-        smesh = make_spatial_mesh(spatial, data=dp_shards,
-                                  devices=devices[:n_dev])
+        # host-contiguous sort BEFORE building the mesh: jax.devices() order
+        # is not process-contiguous on multi-host slices, and an explicit
+        # devices= list is honored verbatim by make_spatial_mesh
+        smesh = make_spatial_mesh(
+            spatial, data=dp_shards,
+            devices=sorted(devices[:n_dev],
+                           key=lambda d: (d.process_index, d.id)))
         train_step_fn = spatial_train_step(train_step, smesh)
         eval_step_fn = spatial_eval_step(eval_step, smesh)
         batch_shd = spatial_batch_sharding(smesh)
@@ -441,54 +446,61 @@ def run(cfg: Config):
         prev_sigterm = signal.signal(signal.SIGTERM,
                                      lambda *_: preempted.set())
     profiled = False
-    while step < total_steps:
-        if (cfg.runtime.profile_steps and not profiled and step > 0):
-            jax.profiler.start_trace(os.path.join(cfg.runtime.model_dir, "profile"))
-        batch = next(train_iter)
-        state, metrics = train_step_fn(state, batch, root_key)
-        step += 1
-        if cfg.runtime.profile_steps and not profiled and \
-                step >= cfg.runtime.profile_steps + 1:
-            jax.block_until_ready(state.params)
-            jax.profiler.stop_trace()
-            profiled = True
-        ips = throughput.tick()
-        if step % cfg.train.log_every == 0 or step == total_steps:
-            m = jax.device_get(metrics)
-            logger.log("train", step, epoch=step / steps_per_epoch,
-                       images_per_sec=ips or 0.0, **{k: float(v) for k, v in m.items()})
-        # periodic checkpoints between evals (reference: save_checkpoint_steps)
-        if (cfg.runtime.save_checkpoint_steps
-                and step % cfg.runtime.save_checkpoint_steps == 0):
-            ckpt.save(state, loader_state=train_iter.consumed_state
-                      or train_loader.state,
-                      rng_seed=cfg.train.seed)
-        # eval + checkpoint at epoch boundaries (epochs_between_evals)
-        at_eval = (step % (steps_per_epoch * cfg.train.epochs_between_evals) == 0
-                   or step == total_steps)
-        if at_eval:
-            eval_metrics = evaluate(eval_step_fn, state, eval_loader,
-                                    batch_size=cfg.train.batch_size // jax.process_count(),
-                                    mesh=mesh, sharding=batch_shd,
-                                    prefetch=cfg.data.prefetch)
-            logger.log("eval", step, **eval_metrics)
-            ckpt.save(state, loader_state=train_iter.consumed_state
-                      or train_loader.state,
-                      rng_seed=cfg.train.seed, force=True)
-            if cfg.train.stop_threshold and \
-                    eval_metrics["top1"] >= cfg.train.stop_threshold:
-                logger.log("early_stop", step, top1=eval_metrics["top1"])
+    try:
+        while step < total_steps:
+            if (cfg.runtime.profile_steps and not profiled and step > 0):
+                jax.profiler.start_trace(
+                    os.path.join(cfg.runtime.model_dir, "profile"))
+            batch = next(train_iter)
+            state, metrics = train_step_fn(state, batch, root_key)
+            step += 1
+            if cfg.runtime.profile_steps and not profiled and \
+                    step >= cfg.runtime.profile_steps + 1:
+                jax.block_until_ready(state.params)
+                jax.profiler.stop_trace()
+                profiled = True
+            ips = throughput.tick()
+            if step % cfg.train.log_every == 0 or step == total_steps:
+                m = jax.device_get(metrics)
+                logger.log("train", step, epoch=step / steps_per_epoch,
+                           images_per_sec=ips or 0.0,
+                           **{k: float(v) for k, v in m.items()})
+            # periodic checkpoints between evals (reference: save_checkpoint_steps)
+            if (cfg.runtime.save_checkpoint_steps
+                    and step % cfg.runtime.save_checkpoint_steps == 0):
+                ckpt.save(state, loader_state=train_iter.consumed_state
+                          or train_loader.state,
+                          rng_seed=cfg.train.seed)
+            # eval + checkpoint at epoch boundaries (epochs_between_evals)
+            at_eval = (step % (steps_per_epoch * cfg.train.epochs_between_evals) == 0
+                       or step == total_steps)
+            if at_eval:
+                eval_metrics = evaluate(
+                    eval_step_fn, state, eval_loader,
+                    batch_size=cfg.train.batch_size // jax.process_count(),
+                    mesh=mesh, sharding=batch_shd,
+                    prefetch=cfg.data.prefetch)
+                logger.log("eval", step, **eval_metrics)
+                ckpt.save(state, loader_state=train_iter.consumed_state
+                          or train_loader.state,
+                          rng_seed=cfg.train.seed, force=True)
+                if cfg.train.stop_threshold and \
+                        eval_metrics["top1"] >= cfg.train.stop_threshold:
+                    logger.log("early_stop", step, top1=eval_metrics["top1"])
+                    break
+            if preempted.is_set():
+                ckpt.save(state, loader_state=train_iter.consumed_state
+                          or train_loader.state,
+                          rng_seed=cfg.train.seed, force=True)
+                ckpt.wait()
+                logger.log("preempt_save", step)
                 break
-        if preempted.is_set():
-            ckpt.save(state, loader_state=train_iter.consumed_state
-                      or train_loader.state,
-                      rng_seed=cfg.train.seed, force=True)
-            ckpt.wait()
-            logger.log("preempt_save", step)
-            break
-
-    if prev_sigterm is not None:
-        signal.signal(signal.SIGTERM, prev_sigterm)
+    finally:
+        # an escaping loader/step exception must not leave the process-wide
+        # SIGTERM handler pointing at a lambda whose Event no loop reads —
+        # graceful preemption would be silently swallowed until SIGKILL
+        if prev_sigterm is not None:
+            signal.signal(signal.SIGTERM, prev_sigterm)
     _maybe_export()
     ckpt.wait()
     ckpt.close()

@@ -52,7 +52,7 @@ from axcnn.train.loop import evaluate
 from axcnn.train.schedules import make_lr_schedule
 from axcnn.train.train_step import (create_train_state, make_eval_step,
                                     make_train_step)
-from convergence_drive_full import HUES, make_set
+from convergence_drive_full import HUES, drive_model_config, make_set
 
 BATCH = 64
 IMAGE = 224
@@ -138,11 +138,7 @@ def main():
         open(marker, "w").close()
 
     # ---- assembled leg (reuses convergence_drive_full's checkpoint) -------
-    asm_cfg = ModelConfig(resnet_size=50, num_classes=10, use_resnet_d=True,
-                          use_se_block=True, use_sk_block=True,
-                          anti_alias_type="sconv", use_dropblock=True,
-                          dropblock_keep_prob=0.9, zero_gamma=True,
-                          bn_momentum=0.997)
+    asm_cfg = drive_model_config()
     mgr = CheckpointManager(os.path.join(root, "pre_ckpt"), max_to_keep=1)
     template = create_train_state(jax.random.key(0), asm_cfg, use_ema=True)
     restored = mgr.restore(template)

@@ -167,6 +167,19 @@ def _eval(cfg, state, data_dir, info, use_ema):
     return evaluate(eval_fn, state, loader, batch_size=BATCH)
 
 
+def drive_model_config():
+    """The ONE pretrain ModelConfig for every drive script that restores the
+    cached checkpoint under <root>/pre_ckpt (ablation_drive,
+    int8_serving_drive import this). Orbax restore matches by tree SHAPE, so
+    a silently-diverged copy would evaluate under wrong architecture flags
+    without erroring — keep a single source of truth."""
+    return ModelConfig(resnet_size=50, num_classes=10, use_resnet_d=True,
+                       use_se_block=True, use_sk_block=True,
+                       anti_alias_type="sconv", use_dropblock=True,
+                       dropblock_keep_prob=0.9, zero_gamma=True,
+                       bn_momentum=0.997)  # PRODUCTION constant
+
+
 def main():
     root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/axcnn_convergence_full"
     os.makedirs(root, exist_ok=True)
@@ -176,11 +189,7 @@ def main():
     pre_classes = [(f"{h}_{o}", HUES[h], o) for h in HUES for o in ("h", "v")]
     pre_dir, pre_info = make_set(os.path.join(root, "pre"), pre_classes,
                                  n_train=240, n_eval=60, seed=0)
-    cfg = ModelConfig(resnet_size=50, num_classes=10, use_resnet_d=True,
-                      use_se_block=True, use_sk_block=True,
-                      anti_alias_type="sconv", use_dropblock=True,
-                      dropblock_keep_prob=0.9, zero_gamma=True,
-                      bn_momentum=0.997)  # PRODUCTION constant
+    cfg = drive_model_config()
     from axcnn.ckpt.checkpoint import CheckpointManager
     mgr = CheckpointManager(os.path.join(root, "pre_ckpt"), max_to_keep=1)
     template = create_train_state(jax.random.key(0), cfg, use_ema=True)

@@ -17,6 +17,7 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache")
 
 import json
@@ -35,15 +36,12 @@ def main():
     from axcnn.models.resnet import ModelConfig, resnet_init, resnet_apply
     from axcnn.train.loop import evaluate
     from axcnn.train.train_step import create_train_state, make_eval_step
+    from convergence_drive_full import drive_model_config
 
     print(f"devices: {jax.devices()}", flush=True)
     root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/axcnn_convergence_full"
     pre_dir = os.path.join(root, "pre", "rec")
-    cfg = ModelConfig(resnet_size=50, num_classes=10, use_resnet_d=True,
-                      use_se_block=True, use_sk_block=True,
-                      anti_alias_type="sconv", use_dropblock=True,
-                      dropblock_keep_prob=0.9, zero_gamma=True,
-                      bn_momentum=0.997)
+    cfg = drive_model_config()
     info = DatasetInfo("drive", num_classes=10, num_train=2400, num_eval=600,
                        train_prefix="train", eval_prefix="validation")
     state = CheckpointManager(os.path.join(root, "pre_ckpt"),

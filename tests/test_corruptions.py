@@ -137,6 +137,28 @@ class TestBuildImageNetC:
                               "validation-00000-of-00002"), "rb").read()
         assert a == b
 
+    def test_subset_regenerates_full_build_pixels(self, tmp_path):
+        """Seeding uses the corruption's STABLE index in CORRUPTION_FNS, not
+        its position in the requested subset: regenerating impulse_noise
+        alone (subset index 0, stable index 2) must be bit-identical to its
+        output from a multi-corruption build."""
+        clean = str(tmp_path / "clean")
+        _write_clean(clean, n=3, shards=1)
+        full = str(tmp_path / "full")
+        build_corrupted_set(
+            clean, full, image_size=64, resize_min=72,
+            corruptions=["gaussian_noise", "shot_noise", "impulse_noise"],
+            severities=[2], progress=lambda *_: None)
+        sub = str(tmp_path / "sub")
+        build_corrupted_set(clean, sub, image_size=64, resize_min=72,
+                            corruptions=["impulse_noise"], severities=[2],
+                            progress=lambda *_: None)
+        a = open(os.path.join(full, "impulse_noise", "2",
+                              "validation-00000-of-00001"), "rb").read()
+        b = open(os.path.join(sub, "impulse_noise", "2",
+                              "validation-00000-of-00001"), "rb").read()
+        assert a == b
+
     def test_cli_and_eval_loader_roundtrip(self, tmp_path):
         """CLI output feeds the stored-pixel eval loader unchanged."""
         from axcnn.data.datasets import DatasetInfo

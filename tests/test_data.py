@@ -404,6 +404,31 @@ class TestRecordCounting:
         for shard in list_shards(data_dir, "train"):
             assert count_records(shard) == sum(1 for _ in TFRecordReader(shard))
 
+    def test_mmap_reader_handles_empty_shard(self, tmp_path):
+        """write_shards legitimately produces zero-byte shards (more shards
+        than items); MmapShardReader must iterate them as zero records like
+        TFRecordReader does instead of crashing on mmap of an empty file."""
+        from axcnn.data.tfrecord import MmapShardReader
+
+        empty = tmp_path / "train-00000-of-00001"
+        empty.write_bytes(b"")
+        assert list(MmapShardReader(str(empty))) == []
+
+    def test_record_seeds_distinct_for_adjacent_seeds(self):
+        """Adjacent --train.seed values must give disjoint native augment
+        streams (the round-3 (seed|1) mix aliased every even seed with its
+        odd successor, halving seed-sweep diversity)."""
+        from axcnn.data.pipeline import _record_seeds
+
+        idxs = np.arange(64)
+        for s in (0, 42, 2**33):
+            a = _record_seeds(s, 0, idxs)
+            b = _record_seeds(s + 1, 0, idxs)
+            assert not np.array_equal(a, b)
+        # and still deterministic
+        np.testing.assert_array_equal(_record_seeds(7, 3, idxs),
+                                      _record_seeds(7, 3, idxs))
+
     def test_num_batches_matches_yielded(self, tmp_path):
         data_dir, info = _make_dataset(tmp_path, n=22, num_shards=3)
         for host_id, drop in ((0, False), (1, False), (0, True)):

@@ -30,6 +30,25 @@ def _tiny_cfg(tmp_path, **train_kw):
 
 
 class TestPreemption:
+    def test_sigterm_handler_restored_on_loop_exception(self, tmp_path,
+                                                        monkeypatch):
+        """An exception escaping the training loop must not leave the
+        process-wide SIGTERM handler pointing at the preemption lambda
+        (whose Event no loop reads — graceful preemption would be silently
+        swallowed until SIGKILL)."""
+        import signal
+
+        from axcnn.train import loop as loop_mod
+
+        def boom(*a, **k):
+            raise RuntimeError("eval exploded")
+
+        monkeypatch.setattr(loop_mod, "evaluate", boom)
+        prev = signal.getsignal(signal.SIGTERM)
+        with pytest.raises(RuntimeError, match="eval exploded"):
+            loop_mod.run(_tiny_cfg(tmp_path))
+        assert signal.getsignal(signal.SIGTERM) is prev
+
     def test_sigterm_saves_and_exits_clean(self, tmp_path):
         """SIGTERM mid-training → the loop saves the consumed data position,
         logs preempt_save, and exits 0 (loop.py preemption handling — beyond

@@ -88,6 +88,26 @@ class TestSpatialPartitioning:
         with pytest.raises(ValueError, match="spans hosts"):
             order_spatial_devices(devs, spatial=8)
 
+    def test_explicit_device_order_is_honored(self):
+        """An explicitly passed device list encodes hand-placed ICI
+        adjacency: make_spatial_mesh must keep the caller's order (only the
+        default jax.devices() path re-sorts host-contiguously)."""
+        from axcnn.parallel.spatial import order_spatial_devices
+
+        devs = [_FakeDev(0, i) for i in range(4)]
+        custom = [devs[2], devs[0], devs[3], devs[1]]
+        grid = order_spatial_devices(custom, spatial=2, sort=False)
+        assert [d.id for d in grid.reshape(-1)] == [2, 0, 3, 1]
+        # the host-spanning check still applies even unsorted
+        mixed = [_FakeDev(0, 0), _FakeDev(1, 1), _FakeDev(0, 2),
+                 _FakeDev(1, 3)]
+        with pytest.raises(ValueError, match="spans hosts"):
+            order_spatial_devices(mixed, spatial=2, sort=False)
+
+        mesh = make_spatial_mesh(2, devices=[jax.devices()[i]
+                                             for i in (3, 1, 2, 0)])
+        assert [d.id for d in mesh.devices.reshape(-1)] == [3, 1, 2, 0]
+
     def test_train_matches_unsharded(self):
         train, _ = _steps()
         batch, key = _batch(), jax.random.key(7)
