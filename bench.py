@@ -22,6 +22,10 @@ baseline):
                      generated JPEG shard set — the full-pipeline number.
                      On this 1-CPU-core box the loader is the bound; the
                      per-core loader rate is reported alongside.
+- loader_fed_echo4_train_ips : the same pipeline with --data.echo_factor=4
+                     (data echoing, Choi et al. 2019) — the shipped lever
+                     for host-bound input: echoed batches replay from
+                     device memory with fresh per-step randomness.
 
 Headline semantics (round 3, VERDICT r2 weak #1/#6): ``value`` is the
 measured absolute train img/s/chip; ``vs_baseline`` is the **fraction of
@@ -257,13 +261,36 @@ def bench_loader_fed():
     for _ in range(3):
         ips, state = _timed_steps(step_fn, state, batches, key, 12)
         fed_ips = max(fed_ips, ips)
+    # data echoing (--data.echo_factor=4): the shipped mitigation for
+    # exactly this host-bound regime — repeats come from device memory, the
+    # host sees 1/4 of the decode+AA traffic, per-step RNG keeps the
+    # stochastic stack fresh (measured placements: scripts/echo_bench.py)
+    from axcnn.data.pipeline import EchoIterator
+
     cores = os.cpu_count() or 1
-    return {
+    out = {
         "loader_fed_train_ips": round(fed_ips, 1),
         "loader_ips": round(loader_ips, 1),
         "loader_ips_per_core": round(loader_ips / cores, 1),
         "host_cores": cores,
     }
+    try:
+        echo = EchoIterator(batches, 4)
+        # fresh state: the echo leg measures throughput; continuing the fed
+        # leg's state would double the step budget at bench LR (divergence
+        # risk — _timed_steps asserts finiteness as its integrity check)
+        state = create_train_state(jax.random.key(0), cfg, use_ema=True)
+        for _ in range(WARMUP):
+            state, metrics = step_fn(state, next(echo), key)
+        float(metrics["loss"])
+        echo_ips = 0.0
+        for _ in range(3):
+            ips, state = _timed_steps(step_fn, state, echo, key, 12)
+            echo_ips = max(echo_ips, ips)
+        out["loader_fed_echo4_train_ips"] = round(echo_ips, 1)
+    except Exception as exc:  # keep the fed numbers if the echo leg dies
+        out["loader_fed_echo4_error"] = f"{type(exc).__name__}: {exc}"
+    return out
 
 
 def main():

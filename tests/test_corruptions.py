@@ -159,6 +159,28 @@ class TestBuildImageNetC:
                               "validation-00000-of-00001"), "rb").read()
         assert a == b
 
+    def test_parallel_build_is_bit_identical(self, tmp_path):
+        """--num_workers fans input shards over a process pool; per-record
+        seeds use the precomputed GLOBAL record offset, so every worker
+        count produces the same bytes."""
+        clean = str(tmp_path / "clean")
+        _write_clean(clean, n=5, shards=3)  # uneven shards (2,2,1)
+        serial, parallel = str(tmp_path / "s"), str(tmp_path / "p")
+        kw = dict(image_size=64, resize_min=72,
+                  corruptions=["gaussian_noise", "fog"], severities=[1, 4],
+                  progress=lambda *_: None)
+        total_s = build_corrupted_set(clean, serial, num_workers=1, **kw)
+        total_p = build_corrupted_set(clean, parallel, num_workers=3, **kw)
+        assert total_s == total_p == 5 * 2 * 2
+        for name in ("gaussian_noise", "fog"):
+            for sev in (1, 4):
+                for si in range(3):
+                    rel = os.path.join(name, str(sev),
+                                       f"validation-{si:05d}-of-00003")
+                    assert (open(os.path.join(serial, rel), "rb").read()
+                            == open(os.path.join(parallel, rel), "rb").read()
+                            ), rel
+
     def test_cli_and_eval_loader_roundtrip(self, tmp_path):
         """CLI output feeds the stored-pixel eval loader unchanged."""
         from axcnn.data.datasets import DatasetInfo
