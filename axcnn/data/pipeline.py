@@ -142,6 +142,13 @@ class TFRecordImageLoader:
         self._num_batches = None  # framing-scan result; shards are immutable
 
     @property
+    def native_active(self) -> bool:
+        """True when the C++ decode path is actually in use (``use_native=True``
+        can silently fall back to PIL for an unsupported AutoAugment policy —
+        drive scripts that require the native path should assert on this)."""
+        return self._native
+
+    @property
     def image_size(self) -> int:
         return self._image_size
 

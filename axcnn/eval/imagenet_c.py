@@ -56,7 +56,9 @@ def run_imagenet_c(cfg):
     from axcnn.data.datasets import get_dataset
     from axcnn.data.pipeline import TFRecordImageLoader
     from axcnn.models.resnet import ModelConfig
-    from axcnn.parallel.mesh import make_mesh, shard_eval_step
+    from axcnn.parallel.mesh import (
+        detect_num_slices, make_hierarchical_mesh, make_mesh,
+        replicate_to_mesh, shard_eval_step)
     from axcnn.train.train_step import create_train_state, make_eval_step
     from axcnn.train.loop import evaluate, _warm_start
     from axcnn.ckpt.checkpoint import CheckpointManager
@@ -65,6 +67,12 @@ def run_imagenet_c(cfg):
     info = get_dataset("imagenet_c")
     policy = policy_from_name(cfg.train.dtype)
     logger = MetricLogger(cfg.runtime.model_dir)
+
+    if cfg.runtime.spatial_partitions > 1:
+        raise ValueError(
+            "mCE evaluation does not support spatial partitioning (224^2 "
+            "stored pixels never motivate it); run with "
+            "--runtime.spatial_partitions=1")
 
     state = create_train_state(jax.random.key(cfg.train.seed), cfg.model,
                                use_ema=cfg.train.use_ema)
@@ -78,11 +86,29 @@ def run_imagenet_c(cfg):
     elif cfg.train.pretrained_checkpoint:
         state = _warm_start(state, cfg)
 
-    n_dev = cfg.runtime.num_devices or len(jax.devices())
-    mesh = make_mesh(n_dev) if n_dev > 1 else None
+    # mesh construction mirrors train.loop.run(): hierarchical (dcn, data)
+    # on multi-slice so the eval psum rides ICI, flat 'data' otherwise
+    devices = jax.devices()
+    n_dev = cfg.runtime.num_devices or len(devices)
+    mesh = None
+    if n_dev > 1:
+        sel = devices[:n_dev]
+        dcn = cfg.runtime.dcn_slices or detect_num_slices(sel)
+        mesh = (make_hierarchical_mesh(dcn, devices=sel) if dcn > 1
+                else make_mesh(n_dev))
+    # loaders and evaluate() take the PER-HOST batch (each host feeds only
+    # its addressable shards); cfg.train.batch_size is global, same
+    # convention as loop.run()
+    if cfg.train.batch_size % jax.process_count():
+        raise ValueError(
+            f"global batch {cfg.train.batch_size} not divisible by "
+            f"{jax.process_count()} hosts")
+    host_batch = cfg.train.batch_size // jax.process_count()
     eval_step = make_eval_step(cfg.model, policy=policy, use_ema=cfg.train.use_ema,
                                mean_rgb=info.mean_rgb, stddev_rgb=info.stddev_rgb)
     eval_step_fn = shard_eval_step(eval_step, mesh) if mesh else jax.jit(eval_step)
+    if jax.process_count() > 1 and mesh is not None:
+        state = replicate_to_mesh(state, mesh)
 
     per_corruption = {}
     for corruption in CORRUPTIONS:
@@ -92,14 +118,14 @@ def run_imagenet_c(cfg):
             if not os.path.isdir(d):
                 continue
             loader = TFRecordImageLoader(
-                d, info, batch_size=cfg.train.batch_size, train=False,
+                d, info, batch_size=host_batch, train=False,
                 image_size=cfg.data.image_size,
                 resize_min=cfg.data.image_size,  # evaluate stored pixels
                 drop_remainder=False,
                 num_workers=cfg.data.num_workers,
                 host_id=jax.process_index(), num_hosts=jax.process_count())
             m = evaluate(eval_step_fn, state, loader,
-                         batch_size=cfg.train.batch_size, mesh=mesh)
+                         batch_size=host_batch, mesh=mesh)
             errs.append(1.0 - m["top1"] / 100.0)
             logger.log("imagenet_c", int(jax.device_get(state.step)),
                        corruption=corruption, severity=severity,

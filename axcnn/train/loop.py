@@ -445,6 +445,13 @@ def run(cfg: Config):
             and threading.current_thread() is threading.main_thread()):
         prev_sigterm = signal.signal(signal.SIGTERM,
                                      lambda *_: preempted.set())
+    elif jax.process_count() > 1:
+        # loud, not silent: multi-controller runs get NO graceful SIGTERM
+        # save (orbax save is a collective; only the signaled host would
+        # enter it) — recovery is the periodic-checkpoint resume path
+        logger.log("preempt_unavailable", step,
+                   reason="multi-controller: SIGTERM save disabled; rely on "
+                          "save_checkpoint_steps + exact resume")
     profiled = False
     try:
         while step < total_steps:

@@ -13,11 +13,11 @@ table, SURVEY §6) while staying inside the offline box:
   convergence_drive_full.py's docstring for the flip-invariance lesson).
 - 6,000 train / 1,200 held-out eval generated JPEGs, native C++ loader +
   C++ AutoAugment(v0) + mixup + label smoothing + DropBlock schedule.
-- **2,500 steps** batch 64 at 224^2 on the real chip — ~27 epochs, long
-  enough for the 0.9999 EMA ramp to reach its asymptotic regime
-  (~2.3k updates > 1/(1-decay) would need 10k; the num_updates ramp is
-  exactly what makes the constant usable at this horizon, same as the
-  reference's first epochs).
+- **2,500 steps** batch 64 at 224^2 on the real chip — ~27 epochs. Note
+  2.5k updates is well UNDER the ~10k = 1/(1-0.9999) EMA time constant;
+  the num_updates ramp (effective decay min(0.9999, (1+n)/(10+n))) is
+  exactly what makes the production constant usable at this horizon,
+  same as the reference's first epochs.
 - **Data echoing** (`EchoIterator`, echo_factor=2) between the device
   prefetcher and the step loop: this box has ONE host core, and 50-class
   freshness at 64 img/step would otherwise put host decode on the
@@ -160,7 +160,9 @@ def main():
         data_dir, info, batch_size=BATCH, train=True, image_size=IMAGE,
         autoaugment_type="v0", seed=0, num_workers=os.cpu_count() or 4,
         use_native=True)
-    assert loader._native and loader._aa_policy == 0
+    assert loader.native_active, \
+        "native C++ loader fell back to the PIL path (unsupported AA " \
+        "policy or build failure) — this drive measures the native path"
     train_step = make_train_step(
         cfg,
         lr_schedule=make_lr_schedule(base_lr=0.05, total_steps=STEPS,
@@ -175,12 +177,16 @@ def main():
 
     t0 = time.time()
     print("[train] compiling...", flush=True)
+    # lower on the first batch, then TRAIN on that same batch as step 1 —
+    # pulling a throwaway batch would misalign echo groups by one and drop
+    # an echoed batch from training
+    first = next(it)
     step_fn = jax.jit(train_step, donate_argnums=(0,)).lower(
-        state, next(it), key).compile()
+        state, first, key).compile()
     print(f"[train] compiled in {time.time() - t0:.0f}s", flush=True)
     t0 = time.time()
     for step in range(1, STEPS + 1):
-        state, m = step_fn(state, next(it), key)
+        state, m = step_fn(state, first if step == 1 else next(it), key)
         if step % 500 == 0 or step == 1:
             mm = jax.device_get(m)
             print(f"[train] step {step:4d}: loss={float(mm['loss']):.4f} "
