@@ -35,8 +35,17 @@ from axcnn.utils.logging import MetricLogger, Throughput
 
 
 def _dataset_info(cfg: Config) -> DatasetInfo:
-    info = get_dataset(cfg.data.dataset_name)
-    return info
+    if cfg.data.dataset_name == "custom":
+        d = cfg.data
+        if min(d.num_classes, d.num_train_examples, d.num_eval_examples) <= 0:
+            raise ValueError(
+                "dataset_name='custom' needs --data.num_classes, "
+                "--data.num_train_examples and --data.num_eval_examples "
+                f"(got {d.num_classes}/{d.num_train_examples}/"
+                f"{d.num_eval_examples})")
+        return DatasetInfo("custom", d.num_classes, d.num_train_examples,
+                           d.num_eval_examples, label_offset=d.label_offset)
+    return get_dataset(cfg.data.dataset_name)
 
 
 def _make_loaders(cfg: Config, info: DatasetInfo):

@@ -66,6 +66,14 @@ class DataConfig:
     # step-based: one data epoch now spans factor x steps_per_epoch steps.
     # Resume granularity coarsens to the echo group (≤ factor-1 steps).
     echo_factor: int = 1
+    # dataset_name="custom": train/eval on user-built TFRecords (e.g. from
+    # build_tfrecords.py --layout=folders) without editing the registry —
+    # these three fields describe the set (all required > 0 for custom).
+    # The reference's equivalent is editing functions/data_config.py.
+    num_classes: int = 0
+    num_train_examples: int = 0
+    num_eval_examples: int = 0
+    label_offset: int = 0  # custom only: add to stored labels (imagenet=1)
 
 
 @dataclasses.dataclass

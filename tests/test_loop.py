@@ -128,6 +128,53 @@ class TestRunLoop:
         m = run(cfg)
         assert set(m) >= {"top1", "top5", "loss", "count"}
 
+    def test_custom_dataset_end_to_end(self, tmp_path):
+        """dataset_name='custom' trains on user-built TFRecords through
+        run(): build 2-class JPEGs -> write_shards -> train 2 steps -> eval.
+        The model head must follow data.num_classes (dataset wins)."""
+        from PIL import Image
+
+        from axcnn.data.build_tfrecords import write_shards
+        from axcnn.train.loop import run
+
+        rng = np.random.default_rng(0)
+        items = {"train": [], "validation": []}
+        raw = tmp_path / "raw"
+        raw.mkdir()
+        for label, name in enumerate(("a", "b")):
+            for i in range(6):
+                p = str(raw / f"{name}{i}.jpg")
+                Image.fromarray(rng.integers(0, 256, (40, 50, 3),
+                                             dtype=np.uint8)).save(p, "JPEG")
+                items["train" if i < 4 else "validation"].append(
+                    (p, label, name))
+        rec = str(tmp_path / "rec")
+        write_shards(items["train"], rec, "train", 2)
+        write_shards(items["validation"], rec, "validation", 1)
+
+        cfg = _tiny_cfg(tmp_path)
+        cfg.data = DataConfig(
+            dataset_name="custom", data_dir=rec, image_size=32,
+            resize_min=32, num_classes=2, num_train_examples=8,
+            num_eval_examples=4)
+        m = run(cfg)
+        assert m["count"] == 4
+        # the checkpoint sidecar must record the 2-way head, not the
+        # ModelConfig default
+        import json
+
+        meta = json.load(open(os.path.join(
+            cfg.runtime.model_dir, "checkpoints", "model_config.json")))
+        assert meta["num_classes"] == 2
+
+    def test_custom_dataset_requires_counts(self, tmp_path):
+        from axcnn.train.loop import run
+
+        cfg = _tiny_cfg(tmp_path)
+        cfg.data = DataConfig(dataset_name="custom", data_dir="/nope")
+        with pytest.raises(ValueError, match="custom"):
+            run(cfg)
+
     def test_run_on_mesh(self, tmp_path):
         """run() end to end over the 8-device mesh: shard_map train + psum
         eval through the same loop code the CLI uses."""
