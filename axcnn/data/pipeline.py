@@ -330,6 +330,142 @@ class SyntheticLoader:
             i += 1
 
 
+class MultiProducerLoader:
+    """Scale-out of the host input pipeline ONTO host cores: ``P`` producer
+    threads, each a full :class:`TFRecordImageLoader` over a disjoint shard
+    subset, interleaved round-robin (the reference's tf.data
+    ``parallel_interleave(cycle_length=P)`` equivalent, SURVEY.md §3.1).
+
+    **Virtual-host composition**: producer ``p`` runs with
+    ``host_id = host_id*P + p, num_hosts = num_hosts*P`` — the existing
+    per-host shard sharding (disjoint by construction) does the work, so a
+    producer IS a loader and inherits every semantics guarantee (seeded
+    shuffle, native decode, label checks). Producer streams are seeded
+    independently (seed folded with the producer index) so augmentation
+    never duplicates across producers.
+
+    **Why**: the single-stream loader has a measured ~12.5 us/record serial
+    section (docs/SCALING.md) — an Amdahl ceiling near ~120 host cores.
+    Here that term moves INTO the producers; the consumer's serial work is
+    one queue pop per BATCH, measured at sub-microsecond per record
+    (scripts/loader_bench.py --producers), so the host ceiling becomes
+    decode-thread count, not stream framing.
+
+    **Exact resume**: the state is ``LoaderState(epoch, batches_yielded)``
+    with the GLOBAL round-robin batch count; producer positions derive from
+    it exactly (producer p has yielded ``n//P + (p < n%P)`` batches, and
+    with ``drop_remainder`` its per-epoch batch count is a constant, so its
+    own (epoch, skip) state is ``divmod``). Requires ``drop_remainder``
+    (train default) — without it the derivation would need per-producer
+    remainders.
+
+    Ordering differs from the single-stream loader (as with tf.data's
+    parallel interleave) but is bit-deterministic in (seed, epoch, P).
+    """
+
+    def __init__(self, data_dir, info, *, num_producers: int,
+                 host_id: int = 0, num_hosts: int = 1, seed: int = 0,
+                 queue_depth: int = 2, **loader_kw):
+        if num_producers < 2:
+            raise ValueError("use TFRecordImageLoader for a single producer")
+        if not loader_kw.get("train", False):
+            raise ValueError("multi-producer mode is a train-path feature "
+                             "(eval is a stateless single pass)")
+        if not loader_kw.get("drop_remainder", True):
+            raise ValueError("multi-producer resume needs drop_remainder")
+        self._P = num_producers
+        self._depth = queue_depth
+        n_shards = len(list_shards(data_dir, info.train_prefix)
+                       [host_id::num_hosts])
+        if n_shards < num_producers:
+            raise ValueError(
+                f"num_producers={num_producers} needs at least that many "
+                f"shard files on this host (host {host_id} of {num_hosts} "
+                f"has {n_shards}) — rebuild with more shards or lower "
+                "--data.num_producers")
+        self._producers = [
+            TFRecordImageLoader(
+                data_dir, info,
+                host_id=host_id * num_producers + p,
+                num_hosts=num_hosts * num_producers,
+                # producer 0 keeps the caller's seed; the rest fold their
+                # index through the same hash the record seeds use
+                seed=seed if p == 0 else int(_splitmix64(
+                    _splitmix64(np.uint64(seed & (2**64 - 1)))
+                    + np.uint64(p))),
+                **loader_kw)
+            for p in range(num_producers)
+        ]
+        self._threads = []
+        self._stop = None
+        self.state = LoaderState(epoch=0, batches_yielded=0)
+
+    @property
+    def native_active(self) -> bool:
+        return all(ld.native_active for ld in self._producers)
+
+    @property
+    def image_size(self) -> int:
+        return self._producers[0].image_size
+
+    def num_batches(self) -> int:
+        return sum(ld.num_batches() for ld in self._producers)
+
+    def _spawn(self):
+        # (re)start producer threads from the current global state
+        stop = threading.Event()
+        queues = [queue_mod.Queue(maxsize=self._depth) for _ in self._producers]
+        n = self.state.batches_yielded
+
+        def run_producer(p, ld, q):
+            per_epoch = ld.num_batches()
+            yielded = n // self._P + (1 if p < n % self._P else 0)
+            ld.state = LoaderState(*divmod(yielded, per_epoch))
+            try:
+                for batch in ld:
+                    # bounded put that honors stop (no daemon-thread leak
+                    # blocked on a full queue after the consumer moves on)
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.5)
+                            break
+                        except queue_mod.Full:
+                            continue
+                    if stop.is_set():
+                        return
+            except BaseException as exc:  # noqa: BLE001 — forwarded below
+                q.put(exc)
+
+        threads = [
+            threading.Thread(target=run_producer, args=(p, ld, q), daemon=True)
+            for p, (ld, q) in enumerate(zip(self._producers, queues))
+        ]
+        for t in threads:
+            t.start()
+        self._stop, self._threads, self._queues = stop, threads, queues
+
+    def close(self):
+        if self._stop is not None:
+            self._stop.set()
+
+    def __iter__(self):
+        self.close()  # retire threads from any previous iteration
+        self._spawn()
+        while True:
+            n = self.state.batches_yielded
+            item = self._queues[n % self._P].get()
+            if isinstance(item, BaseException):
+                raise RuntimeError("multi-producer loader thread failed") \
+                    from item
+            # state advances BEFORE the yield, same contract as the
+            # single-stream loader (the consumer holding batch N means N
+            # batches delivered)
+            self.state = LoaderState(
+                epoch=(n + 1) // max(self.num_batches(), 1),
+                batches_yielded=n + 1)
+            yield item
+
+
 class EchoIterator:
     """Data echoing (Choi et al. 2019): yield each upstream item ``factor``
     times. Wrapped AROUND DevicePrefetch so the echoed batch is already on

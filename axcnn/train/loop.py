@@ -70,10 +70,23 @@ def _make_loaders(cfg: Config, info: DatasetInfo):
     # device AutoAugment: the host loader only decodes/crops (which also lets
     # the native C++ decode path serve augmented training)
     host_aa = "none" if cfg.data.autoaugment_device else cfg.data.autoaugment_type
-    train_loader = TFRecordImageLoader(
-        cfg.data.data_dir, info, batch_size=local_bs, train=True,
-        autoaugment_type=host_aa, seed=cfg.train.seed,
-        shuffle_buffer=cfg.data.shuffle_buffer, **common)
+    if cfg.data.num_producers > 1:
+        # parallel-interleave scale-out: P independent shard-subset streams
+        # (see MultiProducerLoader — exact resume, per-producer decode pools)
+        from axcnn.data.pipeline import MultiProducerLoader
+
+        host_id, num_hosts = common.pop("host_id"), common.pop("num_hosts")
+        train_loader = MultiProducerLoader(
+            cfg.data.data_dir, info, num_producers=cfg.data.num_producers,
+            host_id=host_id, num_hosts=num_hosts, seed=cfg.train.seed,
+            batch_size=local_bs, train=True, autoaugment_type=host_aa,
+            shuffle_buffer=cfg.data.shuffle_buffer, **common)
+        common.update(host_id=host_id, num_hosts=num_hosts)
+    else:
+        train_loader = TFRecordImageLoader(
+            cfg.data.data_dir, info, batch_size=local_bs, train=True,
+            autoaugment_type=host_aa, seed=cfg.train.seed,
+            shuffle_buffer=cfg.data.shuffle_buffer, **common)
     eval_loader = TFRecordImageLoader(
         cfg.data.data_dir, info, batch_size=local_bs, train=False,
         drop_remainder=False, **common)

@@ -52,6 +52,14 @@ class DataConfig:
     # recipe (halves the lambda distribution; see docs/PARITY.md)
     mixup_symmetric: bool = False
     num_workers: int = 8
+    # Train-path producer threads: >1 interleaves that many independent
+    # shard-subset streams round-robin (tf.data parallel_interleave
+    # equivalent). Moves the per-record stream framing (the measured
+    # ~12.5 us/record serial section, docs/SCALING.md) into the producers;
+    # the consumer's serial work drops to one queue pop per batch. Exact
+    # resume preserved (pipeline.MultiProducerLoader). num_workers decode
+    # threads are spawned PER producer.
+    num_producers: int = 1
     shuffle_buffer: int = 4096
     prefetch: int = 2
     loader: str = "python"  # python | cpp (native loader, cpp/)

@@ -301,6 +301,87 @@ class TestLoader:
         assert batches[0]["images"].shape == (4, 16, 16, 3)
 
 
+class TestMultiProducer:
+    """MultiProducerLoader (VERDICT r3 missing #6): the parallel-interleave
+    scale-out must preserve coverage, determinism, and exact resume."""
+
+    def _loader(self, data_dir, info, **kw):
+        from axcnn.data.pipeline import MultiProducerLoader
+
+        kwargs = dict(num_producers=2, batch_size=4, train=True,
+                      image_size=32, seed=9, num_workers=2)
+        kwargs.update(kw)
+        return MultiProducerLoader(data_dir, info, **kwargs)
+
+    def test_epoch_covers_every_record_once(self, tmp_path):
+        data_dir, info = _make_dataset(tmp_path)  # 32 records, 4 shards
+        loader = self._loader(data_dir, info)
+        it = iter(loader)
+        per_epoch = loader.num_batches()
+        assert per_epoch == 8
+        imgs = np.concatenate([next(it)["images"] for _ in range(per_epoch)])
+        # every record exactly once: unique image bytes count == dataset size
+        uniq = {x.tobytes() for x in imgs}
+        assert len(uniq) == 32
+        loader.close()
+
+    def test_deterministic(self, tmp_path):
+        data_dir, info = _make_dataset(tmp_path)
+
+        def take(n):
+            loader = self._loader(data_dir, info)
+            it = iter(loader)
+            out = [next(it) for _ in range(n)]
+            loader.close()
+            return out
+
+        for a, b in zip(take(5), take(5)):
+            np.testing.assert_array_equal(a["images"], b["images"])
+            np.testing.assert_array_equal(a["labels"], b["labels"])
+
+    def test_resume_matches_uninterrupted(self, tmp_path):
+        data_dir, info = _make_dataset(tmp_path)
+        ref_loader = self._loader(data_dir, info)
+        it = iter(ref_loader)
+        ref = [next(it) for _ in range(7)]  # crosses a producer-epoch seam
+        ref_loader.close()
+
+        first = self._loader(data_dir, info)
+        it1 = iter(first)
+        for _ in range(5):
+            next(it1)
+        saved = first.state
+        first.close()
+        resumed = self._loader(data_dir, info)
+        resumed.state = saved
+        it2 = iter(resumed)
+        got = [next(it2) for _ in range(2)]
+        resumed.close()
+        for a, b in zip(ref[5:], got):
+            np.testing.assert_array_equal(a["images"], b["images"])
+            np.testing.assert_array_equal(a["labels"], b["labels"])
+
+    def test_streams_differ_across_producers(self, tmp_path):
+        """Consecutive batches come from different producers (round-robin)
+        with independently seeded augmentation streams."""
+        data_dir, info = _make_dataset(tmp_path)
+        loader = self._loader(data_dir, info)
+        it = iter(loader)
+        a, b = next(it), next(it)
+        loader.close()
+        assert not np.array_equal(a["images"], b["images"])
+
+    def test_too_few_shards_raises(self, tmp_path):
+        data_dir, info = _make_dataset(tmp_path)  # 4 shards
+        with pytest.raises(ValueError, match="shard files"):
+            self._loader(data_dir, info, num_producers=5)
+
+    def test_eval_rejected(self, tmp_path):
+        data_dir, info = _make_dataset(tmp_path)
+        with pytest.raises(ValueError, match="train-path"):
+            self._loader(data_dir, info, train=False)
+
+
 class TestDevicePrefetch:
     def test_consumed_state_resume(self, tmp_path):
         """Checkpointing must record the CONSUMED position, not the loader's
