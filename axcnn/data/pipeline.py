@@ -475,9 +475,12 @@ class EchoIterator:
     so echoed steps are not identical replays.
 
     ``consumed_state`` passes through from the wrapped iterator and only
-    advances when a FRESH batch is pulled — a checkpoint taken mid-group
-    resumes at the group's start (≤ factor-1 steps of echo drift, documented
-    in DataConfig.echo_factor).
+    advances when a FRESH batch is pulled — so it is only step-consistent at
+    echo-group boundaries (``at_boundary``). The run loop defers checkpoint
+    saves to the next boundary (≤ factor-1 steps), which makes resume EXACT:
+    a resumed run replays the identical batch/step stream an uninterrupted
+    run would have seen (pinned bitwise by
+    tests/test_loop.py::test_echo_resume_matches_uninterrupted).
     """
 
     def __init__(self, iterator, factor: int):
@@ -492,6 +495,13 @@ class EchoIterator:
     @property
     def consumed_state(self):
         return getattr(self._inner, "consumed_state", None)
+
+    @property
+    def at_boundary(self) -> bool:
+        """True when the held batch is fully echoed — every fresh batch in
+        ``consumed_state`` got exactly ``factor`` steps, so a checkpoint
+        taken now resumes the stream exactly."""
+        return self._left == 0
 
     def __iter__(self):
         return self

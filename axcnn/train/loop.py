@@ -475,6 +475,7 @@ def run(cfg: Config):
                    reason="multi-controller: SIGTERM save disabled; rely on "
                           "save_checkpoint_steps + exact resume")
     profiled = False
+    pending_save = pending_force = pending_preempt = False
     try:
         while step < total_steps:
             if (cfg.runtime.profile_steps and not profiled and step > 0):
@@ -497,12 +498,11 @@ def run(cfg: Config):
             # periodic checkpoints between evals (reference: save_checkpoint_steps)
             if (cfg.runtime.save_checkpoint_steps
                     and step % cfg.runtime.save_checkpoint_steps == 0):
-                ckpt.save(state, loader_state=train_iter.consumed_state
-                          or train_loader.state,
-                          rng_seed=cfg.train.seed)
+                pending_save = True
             # eval + checkpoint at epoch boundaries (epochs_between_evals)
             at_eval = (step % (steps_per_epoch * cfg.train.epochs_between_evals) == 0
                        or step == total_steps)
+            stopping = False
             if at_eval:
                 eval_metrics = evaluate(
                     eval_step_fn, state, eval_loader,
@@ -510,19 +510,30 @@ def run(cfg: Config):
                     mesh=mesh, sharding=batch_shd,
                     prefetch=cfg.data.prefetch)
                 logger.log("eval", step, **eval_metrics)
-                ckpt.save(state, loader_state=train_iter.consumed_state
-                          or train_loader.state,
-                          rng_seed=cfg.train.seed, force=True)
-                if cfg.train.stop_threshold and \
-                        eval_metrics["top1"] >= cfg.train.stop_threshold:
-                    logger.log("early_stop", step, top1=eval_metrics["top1"])
-                    break
+                pending_force = True
+                stopping = bool(cfg.train.stop_threshold
+                                and eval_metrics["top1"] >= cfg.train.stop_threshold)
             if preempted.is_set():
+                pending_preempt = True
+            # saves are DEFERRED to echo-group boundaries (≤ factor-1 steps):
+            # consumed_state counts fresh batches, so only at a boundary does
+            # it resume the step/batch stream exactly (EchoIterator docstring;
+            # echo_factor=1 is always at a boundary). Run-ending steps flush
+            # regardless — a save must not be lost to alignment.
+            aligned = getattr(train_iter, "at_boundary", True)
+            if ((pending_save or pending_force or pending_preempt)
+                    and (aligned or step == total_steps or stopping)):
                 ckpt.save(state, loader_state=train_iter.consumed_state
                           or train_loader.state,
-                          rng_seed=cfg.train.seed, force=True)
-                ckpt.wait()
-                logger.log("preempt_save", step)
+                          rng_seed=cfg.train.seed,
+                          force=pending_force or pending_preempt)
+                if pending_preempt:
+                    ckpt.wait()
+                    logger.log("preempt_save", step)
+                    break
+                pending_save = pending_force = False
+            if stopping:
+                logger.log("early_stop", step, top1=eval_metrics["top1"])
                 break
     finally:
         # an escaping loader/step exception must not leave the process-wide

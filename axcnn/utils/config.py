@@ -72,7 +72,9 @@ class DataConfig:
     # AutoAugment — randomness ("echoing before augmentation", the variant
     # the paper finds nearly cost-free). Steps-per-epoch accounting is
     # step-based: one data epoch now spans factor x steps_per_epoch steps.
-    # Resume granularity coarsens to the echo group (≤ factor-1 steps).
+    # Checkpoint saves are deferred to the next echo-group boundary
+    # (≤ factor-1 steps later) so resume replays the exact batch/step
+    # stream (tests/test_loop.py::test_echo_resume_matches_uninterrupted).
     echo_factor: int = 1
     # dataset_name="custom": train/eval on user-built TFRecords (e.g. from
     # build_tfrecords.py --layout=folders) without editing the registry —

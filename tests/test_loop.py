@@ -350,6 +350,72 @@ class TestDataEchoing:
         # all 4 train steps executed (echoing repeats batches, not steps)
         assert body.count('"tag": "train"') >= 4
 
+    def test_echo_resume_matches_uninterrupted(self, tmp_path):
+        """Echo-resume is EXACT, not drift-bounded: saves are deferred to
+        echo-group boundaries, so save→restart→continue reproduces the
+        uninterrupted run's per-step losses bitwise (VERDICT r3 weak #7).
+        Also pins the deferral itself: save_checkpoint_steps=3 with echo x2
+        must produce the checkpoint at step 4 (the boundary), not step 3."""
+        import json
+
+        from PIL import Image
+
+        from axcnn.data.build_tfrecords import write_shards
+        from axcnn.train.loop import run
+
+        rng = np.random.default_rng(1)
+        raw = tmp_path / "raw"
+        raw.mkdir()
+        items = {"train": [], "validation": []}
+        for label in range(2):
+            for i in range(10):
+                p = str(raw / f"c{label}_{i}.jpg")
+                Image.fromarray(rng.integers(0, 256, (40, 50, 3),
+                                             dtype=np.uint8)).save(p, "JPEG")
+                items["train" if i < 8 else "validation"].append(
+                    (p, label, str(label)))
+        rec = str(tmp_path / "rec")
+        write_shards(items["train"], rec, "train", 2)
+        write_shards(items["validation"], rec, "validation", 1)
+
+        def cfg_for(d, steps, **runtime_kw):
+            # constant LR: the interrupted run has a shorter train_steps, and
+            # a cosine schedule would decay on a different horizon — the test
+            # isolates echo/checkpoint alignment, not LR truncation
+            cfg = _tiny_cfg(tmp_path / d, train_steps=steps,
+                            lr_decay_type="constant")
+            cfg.data = DataConfig(
+                dataset_name="custom", data_dir=rec, image_size=32,
+                resize_min=32, num_classes=2, num_train_examples=16,
+                num_eval_examples=4, echo_factor=2)
+            for k, v in runtime_kw.items():
+                setattr(cfg.runtime, k, v)
+            return cfg
+
+        def train_losses(d):
+            out = {}
+            # _tiny_cfg puts model_dir at <base>/run
+            with open(os.path.join(str(tmp_path / d), "run",
+                                   "metrics.jsonl")) as f:
+                for line in f:
+                    r = json.loads(line)
+                    if r.get("tag") == "train":
+                        out[r["step"]] = r["loss"]
+            return out
+
+        run(cfg_for("uninterrupted", 8))
+        run(cfg_for("resumed", 4, save_checkpoint_steps=3))
+        # deferral: the periodic save trigger at step 3 (mid echo group)
+        # must land at the step-4 boundary
+        steps_dir = os.path.join(str(tmp_path / "resumed"), "run",
+                                 "checkpoints")
+        saved = {int(s) for s in os.listdir(steps_dir) if s.isdigit()}
+        assert 4 in saved and 3 not in saved, saved
+        run(cfg_for("resumed", 8))  # restores at step 4, trains 5..8
+        full, resumed = train_losses("uninterrupted"), train_losses("resumed")
+        assert [resumed[s] for s in (5, 6, 7, 8)] == \
+               [full[s] for s in (5, 6, 7, 8)]
+
     def test_echoed_steps_are_not_identical_replays(self, tmp_path):
         """Per-step RNG folds the step index, so two steps on the SAME echoed
         batch produce different updates (mixup/DropBlock keep moving)."""
