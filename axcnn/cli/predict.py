@@ -82,7 +82,21 @@ def main(argv=None):
 
         cfg = parse_cli(rest)
         batch = _load_batch(cfg.data.image_size)
-        info = get_dataset(cfg.data.dataset_name)
+        if cfg.data.dataset_name == "custom":
+            # user-built TFRecord sets predict the same way they train;
+            # prediction only needs the head size (example counts are a
+            # training concern — loop._dataset_info demands those too)
+            from axcnn.data.datasets import DatasetInfo
+
+            if cfg.data.num_classes <= 0:
+                raise ValueError(
+                    "dataset_name='custom' needs --data.num_classes")
+            info = DatasetInfo("custom", cfg.data.num_classes,
+                               max(cfg.data.num_train_examples, 0),
+                               max(cfg.data.num_eval_examples, 0),
+                               label_offset=cfg.data.label_offset)
+        else:
+            info = get_dataset(cfg.data.dataset_name)
         import dataclasses
 
         model_cfg = dataclasses.replace(cfg.model, num_classes=info.num_classes)

@@ -225,6 +225,17 @@ class TestRunLoop:
         assert out["image"] == str(img) and len(out["top5"]) == 5
         probs = [p for _, p in out["top5"]]
         assert all(0.0 <= p <= 1.0 for p in probs)
+        # custom datasets predict too (only the head size is needed)
+        buf = _io.StringIO()
+        with redirect_stdout(buf):
+            rc = predict_main([f"--image={img}", "--data.image_size=32",
+                               "--train.dtype=fp32",
+                               "--data.dataset_name=custom",
+                               "--data.num_classes=7",
+                               f"--runtime.model_dir={tmp_path / 'norun'}"])
+        assert rc == 0
+        out = json.loads(buf.getvalue().strip().splitlines()[-1])
+        assert all(0 <= c < 7 for c, _ in out["top5"])
 
     def test_warm_start_excludes_head(self, tmp_path):
         from axcnn.train.loop import run, _warm_start
