@@ -26,6 +26,13 @@ def main(argv=None):
     cfg = parse_cli(sys.argv[1:] if argv is None else argv)
     print(cfg.to_json(), file=sys.stderr)
 
+    if cfg.runtime.platform:
+        # must land before the first device touch (see RuntimeConfig.platform:
+        # the JAX_PLATFORMS env var loses to PJRT plugins, this doesn't)
+        import jax
+
+        jax.config.update("jax_platforms", cfg.runtime.platform)
+
     if cfg.runtime.eval_imagenet_c:
         from axcnn.eval.imagenet_c import run_imagenet_c
 

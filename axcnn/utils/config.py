@@ -137,6 +137,13 @@ class RuntimeConfig:
     save_checkpoint_steps: int = 0  # 0 = once per eval cycle
     keep_checkpoint_max: int = 5
     num_devices: int = 0  # 0 = all visible
+    # JAX platform to run on: "" = default device selection; "cpu"/"tpu"
+    # force a backend. The JAX_PLATFORMS env var is NOT equivalent: PJRT
+    # plugins (e.g. the axon TPU tunnel) can prepend themselves and win, so
+    # this knob applies jax.config.update("jax_platforms", ...) before the
+    # first device touch — the only reliable way to run the CLI on host
+    # CPUs (smoke tests, virtual multi-device meshes) on a TPU machine.
+    platform: str = ""
     # >1: shard the image H axis over this many chips per data shard
     # (axcnn/parallel/spatial.py — GSPMD halo exchange; for large-image
     # work where one chip per image is not enough). Multi-host: must divide
