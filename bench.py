@@ -174,7 +174,32 @@ def bench_compute():
     sol_s = flops / (PEAK_TFLOPS_BF16 * 1e12)
     if np.isfinite(graph_bytes):
         sol_s = max(sol_s, graph_bytes / (PEAK_HBM_GBPS * 1e9))
+
+    # MEASURED-achievable walls (VERDICT r3 #5): STREAM-scale + big-matmul
+    # probes (scripts/calibrate_roofline.py) put a measured denominator
+    # under the ceiling claim; spec-relative numbers stay alongside
+    calib = {}
+    try:
+        from scripts.calibrate_roofline import (measure_hbm_gbps,
+                                                measure_matmul_tflops)
+
+        meas_gbps = measure_hbm_gbps(repeats=2)
+        meas_tflops = measure_matmul_tflops(repeats=2)
+        sol_ach = flops / (meas_tflops * 1e12)
+        if np.isfinite(graph_bytes):
+            sol_ach = max(sol_ach, graph_bytes / (meas_gbps * 1e9))
+        calib = {
+            "measured_hbm_gbps": round(meas_gbps, 1),
+            "measured_tflops_bf16": round(meas_tflops, 1),
+            "hbm_fraction_of_spec": round(meas_gbps / PEAK_HBM_GBPS, 3),
+            "mxu_fraction_of_spec": round(meas_tflops / PEAK_TFLOPS_BF16, 3),
+            "speed_of_light_achievable_ms": round(sol_ach * 1e3, 2),
+            "fraction_of_achievable": round(sol_ach / step_s, 3),
+        }
+    except Exception as exc:  # noqa: BLE001 — record, don't die
+        calib = {"calibration_error": f"{type(exc).__name__}: {exc}"}
     return {
+        **calib,
         "train_ips": round(train_ips, 1),
         "infer_ips": round(infer_ips, 1),
         **int8_result,
@@ -309,15 +334,19 @@ def main():
     details["vs_assumed_tf1_v100_170ips"] = round(
         details["train_ips"] / BASELINE_TRAIN_IPS, 3)
     details["baseline_note"] = (
-        "vs_baseline = measured fraction of this program's speed of light "
+        "vs_baseline = measured fraction of this program's ACHIEVABLE speed "
+        "of light (walls = this chip's measured STREAM/matmul peaks, "
+        "scripts/calibrate_roofline.py); spec-relative fraction "
         f"(max(FLOPs/{PEAK_TFLOPS_BF16}TF, fused-graph bytes/"
-        f"{PEAK_HBM_GBPS}GB/s)); the old 170 img/s assumed-TF1 ratio [K-lo] "
-        "lives in vs_assumed_tf1_v100_170ips")
+        f"{PEAK_HBM_GBPS}GB/s)) stays in fraction_of_speed_of_light; the "
+        "old 170 img/s assumed-TF1 ratio [K-lo] lives in "
+        "vs_assumed_tf1_v100_170ips")
     print(json.dumps({
         "metric": "assemble_resnet50_train_images_per_sec_per_chip",
         "value": details["train_ips"],
         "unit": "images/sec/chip",
-        "vs_baseline": details["fraction_of_speed_of_light"],
+        "vs_baseline": details.get("fraction_of_achievable",
+                                   details["fraction_of_speed_of_light"]),
         "details": details,
     }))
 

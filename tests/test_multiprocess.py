@@ -77,11 +77,15 @@ def _run_pair(worker, args, env, _retry=True):
         outs.append(out)
     if any(p.returncode != 0 for p in procs):
         blob = "\n".join(outs)
-        # Gloo context init has a hard 30 s key-exchange timeout; on this
-        # 1-core host, concurrent load (another compile, a TPU drive) can
-        # deschedule one rank past it. That's an environment flake, not a
-        # semantics failure — retry ONCE on that exact signature only.
-        if _retry and "Gloo context initialization failed" in blob:
+        # Gloo context init has a hard 30 s key-exchange timeout, and the
+        # coordination-service barriers time out if one rank is descheduled
+        # long enough (observed: "reached the barrier: 1/2" while a TPU
+        # drive monopolized this 1-core host). Those are environment
+        # flakes, not semantics failures — retry ONCE on those signatures.
+        flaky = ("Gloo context initialization failed" in blob
+                 or "BarrierError" in blob
+                 or "DEADLINE_EXCEEDED" in blob)
+        if _retry and flaky:
             return _run_pair(worker, args, env, _retry=False)
         assert False, f"worker failed:\n{blob}"
     for out in outs:
