@@ -1,0 +1,158 @@
+"""Big-Little on-chip drive: demote-or-demonstrate evidence for bL-Net.
+
+Big-Little (`--model.bl_alpha/bl_beta`, reference nets/resnet_model.py
+[K-med]; SURVEY §2 item 2) was the least-trusted flag on the surface:
+paper-derived wiring covered by param-count/import/shape tests and a CPU
+learnability test only — no preset had ever trained on the chip and its
+speed claim (a large FLOP cut for a little accuracy) was unmeasured here.
+
+This drive trains the `bl_resnet50` preset (alpha=2, beta=4 — the paper's
+standard setting) through the LITERAL shipped CLI on the 50-class generated
+set at the same budget as the acceptance drive's assembled leg, then
+measures its serving/training speed against `assemble_resnet50`:
+
+- convergence: held-out EMA top-1 >= 90 at 600 steps (the assembled leg's
+  bar) — BL *trains*, with mixup + AutoAugment + label smoothing + EMA.
+- speed: median steady-state train img/s from the run's own metrics.jsonl,
+  plus a dedicated compiled-step probe (synthetic batch, chip-bound) for
+  BOTH presets so the FLOP-cut claim gets a measured ratio that isn't
+  confounded by the 1-core host loader.
+
+Recorded results: docs/CONVERGENCE.md (round 4).
+
+Run:  python scripts/bl_drive.py [root]   (~8 min on the TPU)
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from convergence_drive_scale import make_set
+
+BATCH = 64
+STEPS = 600
+
+
+def cli(args, tag):
+    cmd = [sys.executable, "-m", "axcnn.cli.main_classification"] + args
+    print(f"[{tag}] $ {' '.join(cmd)}", flush=True)
+    t0 = time.time()
+    env = dict(os.environ,
+               JAX_COMPILATION_CACHE_DIR="/root/.cache/axcnn_jax_cache")
+    r = subprocess.run(cmd, env=env)
+    print(f"[{tag}] exit={r.returncode} in {time.time() - t0:.0f}s",
+          flush=True)
+    assert r.returncode == 0, f"{tag} failed"
+
+
+def last_eval(model_dir):
+    out = None
+    with open(os.path.join(model_dir, "metrics.jsonl")) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("tag") == "eval":
+                out = rec
+    assert out is not None, f"no eval record in {model_dir}"
+    return out
+
+
+def step_time_probe(preset, num_classes, steps=30, **overrides):
+    """Compiled-step wall time on a synthetic device-resident batch: the
+    chip-bound number (the training run's img/s is host-loader-bound on
+    this 1-core box, which would hide BL's FLOP cut)."""
+    import dataclasses
+    import importlib
+
+    import jax
+    import numpy as np
+
+    from axcnn.core.dtypes import BF16_POLICY
+    from axcnn.train.schedules import make_lr_schedule
+    from axcnn.train.train_step import create_train_state, make_train_step
+
+    cfg_mod = importlib.import_module(f"axcnn.configs.{preset}")
+    mcfg = dataclasses.replace(cfg_mod.get_config().model,
+                               num_classes=num_classes, **overrides)
+    step = jax.jit(make_train_step(
+        mcfg, lr_schedule=make_lr_schedule(0.05, 1000, 50), total_steps=1000,
+        policy=BF16_POLICY, label_smoothing=0.1, mixup_alpha=0.2,
+        weight_decay=1e-4, use_ema=True), donate_argnums=(0,))
+    state = create_train_state(jax.random.key(0), mcfg, use_ema=True)
+    rng = np.random.default_rng(0)
+    batch = {
+        "images": jax.device_put(rng.integers(0, 255, (BATCH, 224, 224, 3),
+                                              dtype=np.uint8)),
+        "labels": jax.device_put(
+            rng.integers(0, num_classes, (BATCH,), dtype=np.int32)),
+    }
+    key = jax.random.key(1)
+    for _ in range(5):
+        state, m = step(state, batch, key)
+    # block_until_ready lies through the axon tunnel — fetch a scalar that
+    # data-depends on the end of the chain instead (bench.py does the same)
+    loss = float(m["loss"])
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        state, m = step(state, batch, key)
+    loss = float(m["loss"])
+    dt = (time.perf_counter() - t0) / steps
+    assert np.isfinite(loss), loss
+    return dt
+
+
+def main():
+    root = sys.argv[1] if len(sys.argv) > 1 else "/tmp/axcnn_bl"
+    os.makedirs(root, exist_ok=True)
+    data_dir, info = make_set("/tmp/axcnn_convergence_scale",
+                              n_train=120, n_eval=24, seed=0)
+    mdir = os.path.join(root, "bl_resnet50")
+    if not os.path.isdir(os.path.join(mdir, "checkpoints")):
+        cli(["--config=bl_resnet50",
+             "--data.dataset_name=custom",
+             f"--data.data_dir={data_dir}",
+             f"--data.num_classes={info.num_classes}",
+             f"--data.num_train_examples={info.num_train}",
+             f"--data.num_eval_examples={info.num_eval}",
+             "--data.loader=cpp", "--data.echo_factor=2",
+             "--data.num_workers=4",
+             f"--runtime.model_dir={mdir}",
+             f"--train.batch_size={BATCH}",
+             f"--train.train_steps={STEPS}",
+             "--train.lr_warmup_epochs=0.07",
+             "--train.base_lr=0.2"], "bl-train")
+    ev = last_eval(mdir)
+    print(f"[bl] held-out ema top1={ev['top1']:.2f} top5={ev['top5']:.2f} "
+          f"loss={ev['loss']:.4f}", flush=True)
+
+    print("[probe] compiled-step wall time (synthetic, chip-bound)...",
+          flush=True)
+    t_bl = step_time_probe("bl_resnet50", info.num_classes)
+    # the BL-specific ablation: the SAME preset with the branches disabled
+    # (plain ResNet-50-D) isolates what bl_alpha/bl_beta buy
+    t_d = step_time_probe("bl_resnet50", info.num_classes,
+                          bl_alpha=0, bl_beta=0)
+    # and the accuracy-oriented preset BL is positioned against
+    t_as = step_time_probe("assemble_resnet50", info.num_classes)
+    summary = {
+        "bl_top1": round(ev["top1"], 2), "bl_top5": round(ev["top5"], 2),
+        "bl_step_ms": round(t_bl * 1e3, 2),
+        "resnet_d_step_ms": round(t_d * 1e3, 2),
+        "assembled_step_ms": round(t_as * 1e3, 2),
+        "bl_img_per_sec": round(BATCH / t_bl, 1),
+        "bl_vs_resnet_d": round(t_d / t_bl, 2),
+        "bl_vs_assembled": round(t_as / t_bl, 2),
+    }
+    print(json.dumps(summary), flush=True)
+    assert ev["top1"] >= 90.0, f"BL failed to train: {ev}"
+    assert t_bl < t_d, \
+        f"BL not faster than its own no-BL ablation: " \
+        f"{t_bl * 1e3:.1f} vs {t_d * 1e3:.1f} ms"
+    print("BIG-LITTLE DRIVE (bl_resnet50 preset, literal CLI) OK", flush=True)
+
+
+if __name__ == "__main__":
+    main()
