@@ -211,7 +211,21 @@ def main():
     data_dir = make_set_1k(root, N_TRAIN, N_EVAL, seed=0)
     n_train, n_eval = N_TRAIN * 1000, N_EVAL * 1000
     model_dir = os.path.join(root, f"run_{steps}")
-    if not os.path.isdir(os.path.join(model_dir, "checkpoints")):
+
+    def _train_complete():
+        """True once the run's OWN final eval was logged (the loop evals at
+        step == train_steps).  A bare checkpoints/ dir is NOT completion:
+        the axon tunnel can wedge mid-run (observed at step 7700/10000,
+        2026-08-19) and the CLI auto-resumes from the last periodic
+        checkpoint on re-invocation."""
+        path = os.path.join(model_dir, "metrics.jsonl")
+        if not os.path.exists(path):
+            return False
+        with open(path) as f:
+            return any(json.loads(l).get("tag") == "eval"
+                       and json.loads(l)["step"] >= steps for l in f)
+
+    if not _train_complete():
         cli(["--config=assemble_resnet50",
              "--data.dataset_name=custom",
              f"--data.data_dir={data_dir}",
@@ -223,6 +237,8 @@ def main():
              f"--data.echo_factor={ECHO}",
              "--data.num_workers=4",
              f"--runtime.model_dir={model_dir}",
+             # the tunnel can wedge (claim lost mid-run); bound the loss
+             "--runtime.save_checkpoint_steps=1000",
              f"--train.batch_size={BATCH}",
              f"--train.train_steps={steps}",
              "--train.lr_warmup_epochs=0.05",
