@@ -79,6 +79,21 @@ def last_eval(model_dir):
     return out
 
 
+def training_done(model_dir, steps=TRAIN_STEPS):
+    """True once the run's OWN final eval was logged (the loop evals at
+    step == train_steps).  A bare checkpoints/ dir is NOT completion: the
+    axon tunnel can wedge mid-run; the CLI auto-resumes on re-invocation."""
+    path = os.path.join(model_dir, "metrics.jsonl")
+    if not os.path.exists(path):
+        return False
+    with open(path) as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("tag") == "eval" and rec.get("step", 0) >= steps:
+                return True
+    return False
+
+
 def data_flags(data_dir, info, echo=2):
     return [
         "--data.dataset_name=custom",
@@ -107,7 +122,7 @@ def main():
     # ---- config 4: full assembled training via the literal recipe script
     dir4 = os.path.join(root, "config4_assembled")
     export_dir = os.path.join(dir4, "export")
-    if not os.path.isdir(os.path.join(dir4, "checkpoints")):
+    if not training_done(dir4):
         run_cmd(["bash", os.path.join(REPO, "scripts",
                                       "train_assemble_from_scratch.sh"),
                  data_dir, dir4, *dflags[2:], *train_flags,
@@ -148,7 +163,7 @@ def main():
     # ---- config 2: ResNet-50-D + BlurPool, batch-128 eval
     dir2 = os.path.join(root, "config2_resnetd_blurpool")
     arch2 = ["--model.use_resnet_d", "--model.anti_alias_type=sconv"]
-    if not os.path.isdir(os.path.join(dir2, "checkpoints")):
+    if not training_done(dir2):
         run_cmd([sys.executable, "-m", "axcnn.cli.main_classification",
                  "--config=vanilla_resnet50", *arch2, *dflags,
                  f"--runtime.model_dir={dir2}", *train_flags], "config2-setup")
@@ -165,7 +180,7 @@ def main():
 
     # ---- config 1: vanilla R50, single 224x224 image, fp32, CPU
     dir1 = os.path.join(root, "config1_vanilla")
-    if not os.path.isdir(os.path.join(dir1, "checkpoints")):
+    if not training_done(dir1):
         run_cmd([sys.executable, "-m", "axcnn.cli.main_classification",
                  "--config=vanilla_resnet50", *dflags,
                  f"--runtime.model_dir={dir1}", *train_flags],

@@ -110,7 +110,19 @@ def main():
     data_dir, info = make_set("/tmp/axcnn_convergence_scale",
                               n_train=120, n_eval=24, seed=0)
     mdir = os.path.join(root, "bl_resnet50")
-    if not os.path.isdir(os.path.join(mdir, "checkpoints")):
+
+    def _done():
+        # completion = the run's OWN final eval record, not a bare
+        # checkpoints/ dir (the tunnel can wedge mid-run; the CLI
+        # auto-resumes on re-invocation)
+        path = os.path.join(mdir, "metrics.jsonl")
+        if not os.path.exists(path):
+            return False
+        with open(path) as f:
+            return any(json.loads(l).get("tag") == "eval"
+                       and json.loads(l).get("step", 0) >= STEPS for l in f)
+
+    if not _done():
         cli(["--config=bl_resnet50",
              "--data.dataset_name=custom",
              f"--data.data_dir={data_dir}",
