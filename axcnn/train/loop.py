@@ -476,13 +476,40 @@ def run(cfg: Config):
                           "save_checkpoint_steps + exact resume")
     profiled = False
     pending_save = pending_force = pending_preempt = False
+    # Hung-step watchdog (failure detection, SURVEY §5.3): the axon-tunnel
+    # wedge of 2026-08-19 (futex-parked dispatch, 0% CPU, no exception)
+    # motivates an in-process liveness probe — a hang holds the device
+    # claim and burns wall-clock silently, where a crash would have been
+    # restarted. On deadline: log, then hard-exit 42 (the main thread is
+    # wedged inside a C call; only os._exit releases the claim) so a
+    # supervisor can re-invoke and auto-resume from the last checkpoint.
+    watchdog = None
+    if cfg.runtime.hang_watchdog_s > 0:
+        from axcnn.utils.watchdog import HANG_EXIT_CODE, HangWatchdog
+
+        def _on_hang(stalled_s):
+            logger.log("hang_detected", step, stalled_s=round(stalled_s, 1),
+                       timeout_s=cfg.runtime.hang_watchdog_s)
+            os._exit(HANG_EXIT_CODE)
+
+        watchdog = HangWatchdog(cfg.runtime.hang_watchdog_s,
+                                on_hang=_on_hang).start()
+
+    def _beat():
+        if watchdog is not None:
+            watchdog.beat()
+
     try:
         while step < total_steps:
             if (cfg.runtime.profile_steps and not profiled and step > 0):
                 jax.profiler.start_trace(
                     os.path.join(cfg.runtime.model_dir, "profile"))
             batch = next(train_iter)
+            _beat()  # loader produced (host side is alive)
             state, metrics = train_step_fn(state, batch, root_key)
+            # dispatch returned: once a wedged device backpressures the
+            # queue, dispatch itself blocks and the beats stop
+            _beat()
             step += 1
             if cfg.runtime.profile_steps and not profiled and \
                     step >= cfg.runtime.profile_steps + 1:
@@ -492,6 +519,7 @@ def run(cfg: Config):
             ips = throughput.tick()
             if step % cfg.train.log_every == 0 or step == total_steps:
                 m = jax.device_get(metrics)
+                _beat()  # blocking fetch completed: the device is alive
                 logger.log("train", step, epoch=step / steps_per_epoch,
                            images_per_sec=ips or 0.0,
                            **{k: float(v) for k, v in m.items()})
@@ -510,6 +538,7 @@ def run(cfg: Config):
                     mesh=mesh, sharding=batch_shd,
                     prefetch=cfg.data.prefetch)
                 logger.log("eval", step, **eval_metrics)
+                _beat()  # eval is a long legitimate pause
                 pending_force = True
                 stopping = bool(cfg.train.stop_threshold
                                 and eval_metrics["top1"] >= cfg.train.stop_threshold)
@@ -527,6 +556,7 @@ def run(cfg: Config):
                           or train_loader.state,
                           rng_seed=cfg.train.seed,
                           force=pending_force or pending_preempt)
+                _beat()  # checkpoint save is a long legitimate pause
                 if pending_preempt:
                     ckpt.wait()
                     logger.log("preempt_save", step)
@@ -536,6 +566,8 @@ def run(cfg: Config):
                 logger.log("early_stop", step, top1=eval_metrics["top1"])
                 break
     finally:
+        if watchdog is not None:
+            watchdog.stop()
         # an escaping loader/step exception must not leave the process-wide
         # SIGTERM handler pointing at a lambda whose Event no loop reads —
         # graceful preemption would be silently swallowed until SIGKILL

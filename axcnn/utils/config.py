@@ -156,6 +156,14 @@ class RuntimeConfig:
     # hierarchically (ICI inside each slice, one cross-slice DCN exchange);
     # 1 = force the flat single-axis mesh; N = force N slice groups.
     dcn_slices: int = 0
+    # >0: in-process liveness probe (utils/watchdog.py). If no forward
+    # progress is proven for this many seconds (step dispatch, metrics
+    # fetch, eval, checkpoint save all beat it), log `hang_detected` and
+    # hard-exit with code 42 so a supervisor restarts the run, which then
+    # auto-resumes from the last periodic checkpoint. Set it LARGER than
+    # the worst legitimate pause (first compile of a big model through
+    # the tunnel can take minutes). 0 = off.
+    hang_watchdog_s: int = 0
     profile_steps: int = 0  # >0: wrap N steps in jax.profiler.trace
     tensorboard: bool = False  # also write TB scalar summaries to <model_dir>/tb
     eval_only: bool = False

@@ -52,18 +52,26 @@ BATCH = 64
 TRAIN_STEPS = 600
 
 
-def run_cmd(cmd, tag, env_extra=None, capture=False):
-    print(f"[{tag}] $ {' '.join(cmd)}", flush=True)
-    t0 = time.time()
+def run_cmd(cmd, tag, env_extra=None, capture=False, retries=2):
+    """On the watchdog's exit 42 (hung device dispatch) re-invoke: the loop
+    auto-resumes from its last checkpoint. Other nonzero exits are real."""
     env = dict(os.environ,
                JAX_COMPILATION_CACHE_DIR="/root/.cache/axcnn_jax_cache")
     if env_extra:
         env.update(env_extra)
-    r = subprocess.run(cmd, env=env,
-                       stdout=subprocess.PIPE if capture else None,
-                       text=capture)
-    print(f"[{tag}] exit={r.returncode} in {time.time() - t0:.0f}s",
-          flush=True)
+    for attempt in range(retries + 1):
+        print(f"[{tag}] $ {' '.join(cmd)}", flush=True)
+        t0 = time.time()
+        r = subprocess.run(cmd, env=env,
+                           stdout=subprocess.PIPE if capture else None,
+                           text=capture)
+        print(f"[{tag}] exit={r.returncode} in {time.time() - t0:.0f}s",
+              flush=True)
+        if r.returncode != 42:
+            break
+        print(f"[{tag}] hang detected (exit 42); "
+              f"retry {attempt + 1}/{retries} resumes from checkpoint",
+              flush=True)
     assert r.returncode == 0, f"{tag} failed (exit {r.returncode})"
     return r.stdout if capture else None
 
@@ -116,7 +124,9 @@ def main():
     train_flags = [f"--train.batch_size={BATCH}",
                    f"--train.train_steps={TRAIN_STEPS}",
                    "--train.lr_warmup_epochs=0.07",
-                   "--train.base_lr=0.2"]  # per-256; scaled to 0.05 at b64
+                   "--train.base_lr=0.2",  # per-256; scaled to 0.05 at b64
+                   # hung-dispatch liveness probe: exit 42 -> run_cmd retries
+                   "--runtime.hang_watchdog_s=600"]
     summary = {}
 
     # ---- config 4: full assembled training via the literal recipe script

@@ -37,15 +37,23 @@ BATCH = 64
 STEPS = 600
 
 
-def cli(args, tag):
+def cli(args, tag, retries=2):
+    """On the watchdog's exit 42 (hung device dispatch) re-invoke: the loop
+    auto-resumes from its last checkpoint. Other nonzero exits are real."""
     cmd = [sys.executable, "-m", "axcnn.cli.main_classification"] + args
-    print(f"[{tag}] $ {' '.join(cmd)}", flush=True)
-    t0 = time.time()
     env = dict(os.environ,
                JAX_COMPILATION_CACHE_DIR="/root/.cache/axcnn_jax_cache")
-    r = subprocess.run(cmd, env=env)
-    print(f"[{tag}] exit={r.returncode} in {time.time() - t0:.0f}s",
-          flush=True)
+    for attempt in range(retries + 1):
+        print(f"[{tag}] $ {' '.join(cmd)}", flush=True)
+        t0 = time.time()
+        r = subprocess.run(cmd, env=env)
+        print(f"[{tag}] exit={r.returncode} in {time.time() - t0:.0f}s",
+              flush=True)
+        if r.returncode != 42:
+            break
+        print(f"[{tag}] hang detected (exit 42); "
+              f"retry {attempt + 1}/{retries} resumes from checkpoint",
+              flush=True)
     assert r.returncode == 0, f"{tag} failed"
 
 
@@ -135,7 +143,8 @@ def main():
              f"--train.batch_size={BATCH}",
              f"--train.train_steps={STEPS}",
              "--train.lr_warmup_epochs=0.07",
-             "--train.base_lr=0.2"], "bl-train")
+             "--train.base_lr=0.2",
+             "--runtime.hang_watchdog_s=600"], "bl-train")
     ev = last_eval(mdir)
     print(f"[bl] held-out ema top1={ev['top1']:.2f} top5={ev['top5']:.2f} "
           f"loss={ev['loss']:.4f}", flush=True)

@@ -178,15 +178,24 @@ def make_set_1k(root, n_train, n_eval, seed):
     return out
 
 
-def cli(args, tag):
+def cli(args, tag, retries=2):
+    """Run the CLI; on the watchdog's exit code 42 (hung device dispatch,
+    utils/watchdog.py) re-invoke — the loop auto-resumes from the last
+    periodic checkpoint. Any other nonzero exit is a real failure."""
     cmd = [sys.executable, "-m", "axcnn.cli.main_classification"] + args
-    print(f"[{tag}] $ {' '.join(cmd)}", flush=True)
-    t0 = time.time()
     env = dict(os.environ,
                JAX_COMPILATION_CACHE_DIR="/root/.cache/axcnn_jax_cache")
-    r = subprocess.run(cmd, env=env)
-    print(f"[{tag}] exit={r.returncode} in {time.time() - t0:.0f}s",
-          flush=True)
+    for attempt in range(retries + 1):
+        print(f"[{tag}] $ {' '.join(cmd)}", flush=True)
+        t0 = time.time()
+        r = subprocess.run(cmd, env=env)
+        print(f"[{tag}] exit={r.returncode} in {time.time() - t0:.0f}s",
+              flush=True)
+        if r.returncode != 42:
+            break
+        print(f"[{tag}] hang detected (exit 42); "
+              f"retry {attempt + 1}/{retries} resumes from checkpoint",
+              flush=True)
     assert r.returncode == 0, f"{tag} failed"
 
 
@@ -238,7 +247,9 @@ def main():
              "--data.num_workers=4",
              f"--runtime.model_dir={model_dir}",
              # the tunnel can wedge (claim lost mid-run); bound the loss
+             # and detect the hang in-process (exit 42 -> cli() retries)
              "--runtime.save_checkpoint_steps=1000",
+             "--runtime.hang_watchdog_s=600",
              f"--train.batch_size={BATCH}",
              f"--train.train_steps={steps}",
              "--train.lr_warmup_epochs=0.05",
