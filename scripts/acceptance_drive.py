@@ -177,7 +177,16 @@ def main():
 
     # ---- config 2: ResNet-50-D + BlurPool, batch-128 eval
     dir2 = os.path.join(root, "config2_resnetd_blurpool")
-    arch2 = ["--model.use_resnet_d", "--model.anti_alias_type=sconv"]
+    # bn_momentum=0.9 for the SHORT vanilla setups: at 900 steps the
+    # production 0.997 (tau=333 steps) averages BN stats over a window
+    # where the raw weights are still moving fast — the stats pair with
+    # mid-anneal weights, not the final ones, and eval collapses
+    # (measured: 29.7 top-1 at loss 6.1 > ln(50), train ~100%). The
+    # assembled legs don't hit this because their EMA weights are
+    # averaged over the SAME window as the BN stats. The reference's
+    # 90-epoch vanilla runs are ~300 tau deep, where this is invisible.
+    arch2 = ["--model.use_resnet_d", "--model.anti_alias_type=sconv",
+             "--model.bn_momentum=0.9"]
     if not training_done(dir2):
         run_cmd([sys.executable, "-m", "axcnn.cli.main_classification",
                  "--config=vanilla_resnet50", *arch2, *dflags,
@@ -197,7 +206,9 @@ def main():
     dir1 = os.path.join(root, "config1_vanilla")
     if not training_done(dir1):
         run_cmd([sys.executable, "-m", "axcnn.cli.main_classification",
-                 "--config=vanilla_resnet50", *dflags,
+                 "--config=vanilla_resnet50",
+                 "--model.bn_momentum=0.9",  # short run; see arch2 comment
+                 *dflags,
                  f"--runtime.model_dir={dir1}", *train_flags],
                 "config1-setup")
     ev1 = last_eval(dir1)
