@@ -98,6 +98,20 @@ class CheckpointManager:
         }
         if state.ema is not None:
             template["ema"] = state.ema
+        # Abstract templates (jax.eval_shape leaves, e.g. the KD-teacher
+        # load) carry sharding=None; orbax then reads the sharding file
+        # written at save time, which names the SAVING topology's devices —
+        # a TPU-written checkpoint restored on the CPU backend (acceptance
+        # config-5: virtual-8 CPU mesh, teacher trained on the chip) fails
+        # with "sharding ... Got None". Cross-topology restore is a
+        # supported contract here, so pin abstract leaves to a concrete
+        # local-device sharding (the teacher/template is replicated anyway;
+        # run() re-shards onto the mesh after restore).
+        local = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+        template = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=local)
+            if isinstance(x, jax.ShapeDtypeStruct) and x.sharding is None
+            else x, template)
         restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
         new_state = TrainState(
             step=np.int32(restored["step"]),

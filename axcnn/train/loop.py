@@ -235,8 +235,15 @@ def _eval_batches(eval_loader, batch_size):
 
 
 def evaluate(eval_step_fn, state, eval_loader, *, batch_size, mesh=None,
-             prefetch=2, sharding=None):
-    """Full eval pass; returns {'top1': %, 'top5': %, 'loss': mean, 'count': N}."""
+             prefetch=2, sharding=None, on_batch=None):
+    """Full eval pass; returns {'top1': %, 'top5': %, 'loss': mean, 'count': N}.
+
+    ``on_batch`` (optional thunk) is invoked after every completed batch —
+    the hang-watchdog liveness beat. A full eval can legitimately outlast
+    ``hang_watchdog_s`` (ImageNet val at small batch is minutes), so the
+    beat must be per-batch, not per-eval: each device_get here proves the
+    chip answered, which is exactly the liveness the watchdog probes.
+    """
     totals = {}
     if sharding is None:
         sharding = batch_sharding(mesh) if mesh is not None else None
@@ -244,6 +251,8 @@ def evaluate(eval_step_fn, state, eval_loader, *, batch_size, mesh=None,
             _eval_batches(eval_loader, batch_size), size=prefetch,
             sharding=sharding):
         m = jax.device_get(eval_step_fn(state, batch))
+        if on_batch is not None:
+            on_batch()
         for k, v in m.items():
             totals[k] = totals.get(k, 0.0) + float(v)
     count = max(totals.get("count", 0.0), 1.0)
@@ -426,11 +435,35 @@ def run(cfg: Config):
                    path=cfg.runtime.export_dir)
 
     if cfg.runtime.eval_only:
-        metrics = evaluate(eval_step_fn, state, eval_loader,
-                           batch_size=cfg.train.batch_size // jax.process_count(),
-                           mesh=mesh, sharding=batch_shd,
-                           prefetch=cfg.data.prefetch)
-        logger.log("eval", int(jax.device_get(state.step)), **metrics)
+        # Eval-only gets the same hung-dispatch watchdog as training (the
+        # 2026-08-19 tunnel wedge hit an eval_only leg: futex-parked at 0%
+        # CPU right after restore, which no train-loop watchdog covers).
+        # The step is fetched BEFORE arming — device_get inside the hang
+        # handler would itself wedge.
+        eval_step_no = int(jax.device_get(state.step))
+        watchdog = None
+        if cfg.runtime.hang_watchdog_s > 0:
+            from axcnn.utils.watchdog import HANG_EXIT_CODE, HangWatchdog
+
+            def _on_eval_hang(stalled_s):
+                logger.log("hang_detected", eval_step_no,
+                           stalled_s=round(stalled_s, 1),
+                           timeout_s=cfg.runtime.hang_watchdog_s)
+                os._exit(HANG_EXIT_CODE)
+
+            watchdog = HangWatchdog(cfg.runtime.hang_watchdog_s,
+                                    on_hang=_on_eval_hang).start()
+        try:
+            metrics = evaluate(
+                eval_step_fn, state, eval_loader,
+                batch_size=cfg.train.batch_size // jax.process_count(),
+                mesh=mesh, sharding=batch_shd,
+                prefetch=cfg.data.prefetch,
+                on_batch=watchdog.beat if watchdog is not None else None)
+        finally:
+            if watchdog is not None:
+                watchdog.stop()
+        logger.log("eval", eval_step_no, **metrics)
         _maybe_export()
         ckpt.close()
         return metrics
@@ -536,9 +569,12 @@ def run(cfg: Config):
                     eval_step_fn, state, eval_loader,
                     batch_size=cfg.train.batch_size // jax.process_count(),
                     mesh=mesh, sharding=batch_shd,
-                    prefetch=cfg.data.prefetch)
+                    prefetch=cfg.data.prefetch,
+                    # per-batch beats: a full eval can legitimately outlast
+                    # hang_watchdog_s (it's sized for a single train step)
+                    on_batch=_beat)
                 logger.log("eval", step, **eval_metrics)
-                _beat()  # eval is a long legitimate pause
+                _beat()
                 pending_force = True
                 stopping = bool(cfg.train.stop_threshold
                                 and eval_metrics["top1"] >= cfg.train.stop_threshold)

@@ -165,7 +165,10 @@ def main():
     # ---- config 3: assembled eval, batch 256, EMA weights (eval.sh)
     run_cmd(["bash", os.path.join(REPO, "scripts", "eval.sh"),
              data_dir, dir4, *dflags[2:], "--data.dataset_name=custom",
-             "--train.batch_size=256", "--train.use_ema"], "config3")
+             "--train.batch_size=256", "--train.use_ema",
+             # eval legs wedge too (the 2026-08-19 tunnel hang hit one);
+             # run() arms the watchdog around eval_only since that incident
+             "--runtime.hang_watchdog_s=600"], "config3")
     ev3 = last_eval(dir4)
     print(f"[config3] b256 ema top1={ev3['top1']:.2f} "
           f"count={ev3['count']:.0f}", flush=True)
@@ -194,6 +197,7 @@ def main():
     run_cmd([sys.executable, "-m", "axcnn.cli.main_classification",
              "--config=vanilla_resnet50", *arch2, *dflags,
              "--train.batch_size=128", "--runtime.eval_only",
+             "--runtime.hang_watchdog_s=600",
              f"--runtime.model_dir={dir2}"], "config2")
     ev2 = last_eval(dir2)
     print(f"[config2] b128 top1={ev2['top1']:.2f} count={ev2['count']:.0f}",

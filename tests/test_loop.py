@@ -128,6 +128,23 @@ class TestRunLoop:
         m = run(cfg)
         assert set(m) >= {"top1", "top5", "loss", "count"}
 
+    def test_eval_only_with_watchdog(self, tmp_path):
+        """eval_only arms the hang watchdog (the 2026-08-19 tunnel wedge hit
+        an eval leg) and the per-batch beats keep a healthy eval from
+        false-firing — completion with the flag set IS the wiring check."""
+        from axcnn.train.loop import run
+
+        cfg = _tiny_cfg(tmp_path)
+        run(cfg)
+        cfg.runtime.eval_only = True
+        cfg.runtime.hang_watchdog_s = 120
+        m = run(cfg)
+        assert set(m) >= {"top1", "top5", "loss", "count"}
+        # the watchdog thread must not outlive run()
+        import threading
+        assert not any(t.name == "hang-watchdog"
+                       for t in threading.enumerate())
+
     def test_custom_dataset_end_to_end(self, tmp_path):
         """dataset_name='custom' trains on user-built TFRecords through
         run(): build 2-class JPEGs -> write_shards -> train 2 steps -> eval.
