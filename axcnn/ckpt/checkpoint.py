@@ -105,11 +105,19 @@ class CheckpointManager:
         # config-5: virtual-8 CPU mesh, teacher trained on the chip) fails
         # with "sharding ... Got None". Cross-topology restore is a
         # supported contract here, so pin abstract leaves to a concrete
-        # local-device sharding (the teacher/template is replicated anyway;
-        # run() re-shards onto the mesh after restore).
-        local = jax.sharding.SingleDeviceSharding(jax.local_devices()[0])
+        # sharding: REPLICATED over all global devices (the teacher/template
+        # is replicated anyway; run() re-shards onto the mesh after restore).
+        # jax.devices() is identical on every process, so the choice is
+        # globally consistent in multi-controller runs — unlike the previous
+        # SingleDeviceSharding(local_devices()[0]) pin, where each process
+        # named a different device and a collective restore diverged (and a
+        # large teacher was forced onto one device's HBM).
+        import numpy as _np
+        repl = jax.sharding.NamedSharding(
+            jax.sharding.Mesh(_np.array(jax.devices()), ("all",)),
+            jax.sharding.PartitionSpec())
         template = jax.tree.map(
-            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=local)
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=repl)
             if isinstance(x, jax.ShapeDtypeStruct) and x.sharding is None
             else x, template)
         restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))

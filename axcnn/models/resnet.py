@@ -25,6 +25,16 @@ Design notes (TPU-first, not a TF translation):
   No classes, no global state — the whole model jits and shards as data.
 - Python loops over blocks unroll at trace time into a static XLA graph
   (shapes are static; XLA fuses BN+ReLU into conv epilogues on the MXU).
+- ``scan_blocks``: ``lax.scan`` over each stage's shape-identical tail
+  blocks (everything after the stage's projection block) with params
+  STACKED along a leading block axis — the standard large-model JAX
+  compile-time lever. XLA compiles ONE tail-block body per stage instead
+  of one per block, shrinking an R152's HLO ~4x (50 block bodies → 8);
+  numerics are identical (the scan replays the same ops in the same
+  order; tests/test_resnet_scan.py asserts equivalence). Use for deep
+  models where compile time matters (R152+KD first-compile, the
+  multi-chip dryrun on a 1-core host). Checkpoint layouts differ;
+  ``params_to_scan`` / ``params_from_scan`` convert both directions.
 """
 
 from __future__ import annotations
@@ -92,6 +102,12 @@ class ModelConfig:
     #              5.63->1.71 GB (b128) for +26% step time. Use for
     #              R152+KD / large-batch configs that otherwise exceed HBM.
     remat: str = "none"
+    # Compile-time lever (see module docstring): lax.scan over each stage's
+    # tail blocks with stacked params. Weights/numerics unchanged; the
+    # checkpoint LAYOUT differs (stacked leaves) — convert with
+    # params_to_scan/params_from_scan. Composes with remat ('blocks'
+    # checkpoints the scan body once).
+    scan_blocks: bool = False
 
     def __post_init__(self):
         if self.resnet_size not in RESNET_BLOCKS:
@@ -273,6 +289,17 @@ def resnet_init(key, cfg: ModelConfig, *, dtype=jnp.float32):
             continue
         sp, ss = {}, {}
         block_keys = jax.random.split(stage_keys[s], cfg.blocks[s])
+        if cfg.scan_blocks:
+            # projection block unrolled, shape-identical tail stacked along a
+            # leading block axis (vmap over per-block keys) for lax.scan
+            sp["block0"], ss["block0"] = _block_init(
+                block_keys[0], cfg, in_ch, filters, has_proj=True, dtype=dtype)
+            in_ch = filters * _EXPANSION
+            sp["tail"], ss["tail"] = jax.vmap(
+                lambda k: _block_init(k, cfg, in_ch, filters, has_proj=False,
+                                      dtype=dtype))(block_keys[1:])
+            params[f"stage{s + 1}"], state[f"stage{s + 1}"] = sp, ss
+            continue
         for b in range(cfg.blocks[s]):
             has_proj = b == 0  # first block of each stage projects (+ strides if s>0)
             sp[f"block{b}"], ss[f"block{b}"] = _block_init(
@@ -403,6 +430,97 @@ def _block_apply(params, state, x, cfg: ModelConfig, *, stride, train, policy, a
     return jax.nn.relu(h + shortcut.astype(h.dtype)), new_state
 
 
+def _scan_stage_apply(sp, ss, x, cfg: ModelConfig, s: int, *, train, policy,
+                      axis_name, rng, keep_prob):
+    """One stage under ``scan_blocks``: unrolled projection block, then
+    ``lax.scan`` over the stacked tail. Replays exactly the ops of the
+    unrolled path per block (same strides, same DropBlock placement), so
+    numerics match the unrolled layout bit-for-bit given converted params
+    (tests/test_resnet_scan.py)."""
+    stage, sname = s + 1, f"stage{s + 1}"
+    use_db = cfg.use_dropblock and train and stage in cfg.dropblock_stages
+    if use_db and rng is None:
+        raise ValueError("training with DropBlock requires rng")
+
+    first_fn = _remat_wrap(
+        lambda p, st, h: _block_apply(
+            p, st, h, cfg, stride=2 if s > 0 else 1, train=train,
+            policy=policy, axis_name=axis_name),
+        cfg, train)
+    x, ns0 = first_fn(sp["block0"], ss["block0"], x)
+    if use_db:
+        x = dropblock(rng(f"dropblock/{sname}/block0"), x, keep_prob=keep_prob,
+                      block_size=cfg.dropblock_block_size, train=True)
+
+    tail_fn = _remat_wrap(
+        lambda p, st, h: _block_apply(
+            p, st, h, cfg, stride=1, train=train, policy=policy,
+            axis_name=axis_name),
+        cfg, train)
+    n_tail = cfg.blocks[s] - 1
+
+    def body(h, xs):
+        if use_db:
+            p, st, k = xs
+        else:
+            p, st = xs
+        h, ns = tail_fn(p, st, h)
+        if use_db:
+            h = dropblock(k, h, keep_prob=keep_prob,
+                          block_size=cfg.dropblock_block_size, train=True)
+        return h, ns
+
+    xs = (sp["tail"], ss["tail"])
+    if use_db:
+        xs += (jax.random.split(rng(f"dropblock/{sname}/tail"), n_tail),)
+    x, ns_tail = jax.lax.scan(body, x, xs)
+    return x, {"block0": ns0, "tail": ns_tail}
+
+
+# ---------------------------------------------------------------------------
+# scan-layout converters: the weights are the same, only the tree layout
+# differs (per-block dicts vs a stacked leading block axis). Used to move
+# checkpoints / TF imports (which produce the unrolled layout) onto a
+# scan_blocks config and back. Work on params AND model-state trees (both
+# share the blockN structure).
+# ---------------------------------------------------------------------------
+
+def _stage_to_scan(stage_tree):
+    n = len(stage_tree)
+    tail = [stage_tree[f"block{b}"] for b in range(1, n)]
+    return {"block0": stage_tree["block0"],
+            "tail": jax.tree.map(lambda *xs: jnp.stack(xs), *tail)}
+
+
+def _stage_from_scan(stage_tree):
+    out = {"block0": stage_tree["block0"]}
+    n_tail = jax.tree.leaves(stage_tree["tail"])[0].shape[0]
+    for b in range(n_tail):
+        out[f"block{b + 1}"] = jax.tree.map(lambda x: x[b],
+                                            stage_tree["tail"])
+    return out
+
+
+def params_to_scan(tree, cfg: ModelConfig):
+    """Unrolled-layout params/state tree → ``scan_blocks`` layout."""
+    out = dict(tree)
+    for s in range(4):
+        if cfg.use_bl and s in _BL_STAGES:
+            continue  # BL stages are heterogeneous; scan_blocks skips them
+        out[f"stage{s + 1}"] = _stage_to_scan(tree[f"stage{s + 1}"])
+    return out
+
+
+def params_from_scan(tree, cfg: ModelConfig):
+    """``scan_blocks``-layout params/state tree → unrolled layout."""
+    out = dict(tree)
+    for s in range(4):
+        if cfg.use_bl and s in _BL_STAGES:
+            continue
+        out[f"stage{s + 1}"] = _stage_from_scan(tree[f"stage{s + 1}"])
+    return out
+
+
 def resnet_apply(
     params,
     state,
@@ -440,6 +558,11 @@ def resnet_apply(
                     raise ValueError("training with DropBlock requires rng")
                 x = dropblock(rng(f"dropblock/{sname}/out"), x, keep_prob=kp,
                               block_size=cfg.dropblock_block_size, train=True)
+            continue
+        if cfg.scan_blocks:
+            x, new_state[sname] = _scan_stage_apply(
+                sp, ss, x, cfg, s, train=train, policy=policy,
+                axis_name=axis_name, rng=rng, keep_prob=kp)
             continue
         ns = {}
         for b in range(cfg.blocks[s]):

@@ -9,6 +9,7 @@ steps, jit (single device) or shard_map (mesh), iterate.
 
 from __future__ import annotations
 
+import dataclasses
 import math
 import os
 import signal
@@ -174,13 +175,27 @@ def _warm_start(state: TrainState, cfg: Config) -> TrainState:
 
     raw = mgr._mgr.restore(latest, args=ocp.args.StandardRestore())
     mgr.close()
-    src_params = raw.get("ema") or raw["params"]
+
+    def _adapt_layout(tree):
+        # checkpoints store either the unrolled per-block layout or the
+        # scan_blocks stacked layout (models/resnet.py); warm-start across
+        # the two is a pure re-stacking (stage1 is never a BL stage, so its
+        # key set identifies the stored layout)
+        from axcnn.models.resnet import params_from_scan, params_to_scan
+        stored_scan = "tail" in tree.get("stage1", {})
+        if stored_scan == cfg.model.scan_blocks:
+            return tree
+        conv = params_to_scan if cfg.model.scan_blocks else params_from_scan
+        return conv(tree, dataclasses.replace(cfg.model,
+                                              scan_blocks=stored_scan))
+
+    src_params = _adapt_layout(raw.get("ema") or raw["params"])
     new_params = dict(state.params)
     for k, v in src_params.items():
         if k == "head" and cfg.train.warm_start_exclude_head:
             continue
         new_params[k] = jax.tree.map(jnp.asarray, v)
-    new_mstate = jax.tree.map(jnp.asarray, raw["model_state"])
+    new_mstate = jax.tree.map(jnp.asarray, _adapt_layout(raw["model_state"]))
     from axcnn.train.ema import ema_init  # explicit copy: astype would alias
     # params and ema buffers, which breaks donation in the train step
 
@@ -443,13 +458,17 @@ def run(cfg: Config):
         eval_step_no = int(jax.device_get(state.step))
         watchdog = None
         if cfg.runtime.hang_watchdog_s > 0:
-            from axcnn.utils.watchdog import HANG_EXIT_CODE, HangWatchdog
+            from axcnn.utils.watchdog import HangWatchdog, exit_after
 
             def _on_eval_hang(stalled_s):
-                logger.log("hang_detected", eval_step_no,
-                           stalled_s=round(stalled_s, 1),
-                           timeout_s=cfg.runtime.hang_watchdog_s)
-                os._exit(HANG_EXIT_CODE)
+                # exit_after: the log runs on a bounded side thread so a
+                # hang in the logging/filesystem layer cannot neutralize
+                # the exit; jsonl_only skips the TB writer for the same
+                # reason (round-4 review Weak #8)
+                exit_after(lambda: logger.log(
+                    "hang_detected", eval_step_no, jsonl_only=True,
+                    stalled_s=round(stalled_s, 1),
+                    timeout_s=cfg.runtime.hang_watchdog_s))
 
             watchdog = HangWatchdog(cfg.runtime.hang_watchdog_s,
                                     on_hang=_on_eval_hang).start()
@@ -518,12 +537,17 @@ def run(cfg: Config):
     # supervisor can re-invoke and auto-resume from the last checkpoint.
     watchdog = None
     if cfg.runtime.hang_watchdog_s > 0:
-        from axcnn.utils.watchdog import HANG_EXIT_CODE, HangWatchdog
+        from axcnn.utils.watchdog import HangWatchdog, exit_after
 
         def _on_hang(stalled_s):
-            logger.log("hang_detected", step, stalled_s=round(stalled_s, 1),
-                       timeout_s=cfg.runtime.hang_watchdog_s)
-            os._exit(HANG_EXIT_CODE)
+            # exit_after: bounded side-thread log then unconditional
+            # os._exit — a hang in the logging/filesystem layer must not
+            # neutralize the exit (round-4 review Weak #8); jsonl_only
+            # keeps the handler out of the TF summary writer
+            exit_after(lambda: logger.log(
+                "hang_detected", step, jsonl_only=True,
+                stalled_s=round(stalled_s, 1),
+                timeout_s=cfg.runtime.hang_watchdog_s))
 
         watchdog = HangWatchdog(cfg.runtime.hang_watchdog_s,
                                 on_hang=_on_hang).start()
@@ -594,6 +618,12 @@ def run(cfg: Config):
                           force=pending_force or pending_preempt)
                 _beat()  # checkpoint save is a long legitimate pause
                 if pending_preempt:
+                    # a graceful SIGTERM save may legitimately outlast
+                    # hang_watchdog_s (orbax async write of the full
+                    # state); disarm the watchdog BEFORE blocking in
+                    # wait() so the exit-0 preemption contract holds
+                    if watchdog is not None:
+                        watchdog.stop()
                     ckpt.wait()
                     logger.log("preempt_save", step)
                     break

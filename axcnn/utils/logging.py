@@ -39,14 +39,17 @@ class MetricLogger:
                     print("tensorboard requested but tensorflow unavailable",
                           file=sys.stderr)
 
-    def log(self, tag: str, step: int, **metrics):
+    def log(self, tag: str, step: int, *, jsonl_only: bool = False, **metrics):
+        """``jsonl_only=True`` skips the TensorBoard branch — used by the
+        hang-watchdog handlers, where entering TF summary writing against a
+        wedged process state could block the exit the handler guarantees."""
         rec = {"tag": tag, "step": int(step), "time": time.time()}
         rec.update({k: (float(v) if hasattr(v, "__float__") else v)
                     for k, v in metrics.items()})
         if self._f:
             self._f.write(json.dumps(rec) + "\n")
             self._f.flush()
-        if self._tb is not None:
+        if self._tb is not None and not jsonl_only:
             import tensorflow as tf
 
             with self._tb.as_default():

@@ -41,6 +41,26 @@ def _default_on_hang() -> None:  # pragma: no cover - kills the process
     os._exit(HANG_EXIT_CODE)
 
 
+def exit_after(log_fn: Callable[[], None], *, timeout_s: float = 5.0,
+               exit_code: int = HANG_EXIT_CODE) -> None:
+    """Best-effort log, then ``os._exit`` UNCONDITIONALLY.
+
+    The hang being reported may live in the filesystem or summary-writer
+    layer — in which case ``log_fn`` itself blocks and a plain
+    ``log(); os._exit()`` sequence never reaches the exit it exists to
+    guarantee (round-4 review, Weak #8). Running the log on a daemon side
+    thread with a bounded join means a wedged logger delays the exit by at
+    most ``timeout_s`` and can never neutralize it.
+    """
+    try:
+        t = threading.Thread(target=log_fn, daemon=True, name="hang-exit-log")
+        t.start()
+        t.join(timeout_s)
+    except Exception:  # pragma: no cover - thread creation failure
+        pass
+    os._exit(exit_code)
+
+
 class HangWatchdog:
     """Deadline monitor for an event loop that must keep making progress.
 

@@ -27,15 +27,23 @@ baseline):
                      for host-bound input: echoed batches replay from
                      device memory with fresh per-step randomness.
 
-Headline semantics (round 3, VERDICT r2 weak #1/#6): ``value`` is the
-measured absolute train img/s/chip; ``vs_baseline`` is the **fraction of
-the chip's speed of light** for this program — measured step time vs
-max(FLOPs/peak_bf16, HLO-graph bytes/peak_HBM), where HLO-graph bytes are
-the fused graph's unique operand+output traffic (scripts/profile_roofline
-accounting) rather than the cost model's logical bytes (which overcounted
-to an impossible 103% HBM utilization in round 2). The round-1 "vs assumed
-TF1-V100 170 img/s [K-lo]" ratio survives only in details for series
-continuity.
+FROZEN headline contract (round 5 — permanent; tests/test_bench_schema.py
+enforces it):
+    ``value``       = measured absolute train img/s/chip (config-4 step).
+    ``vs_baseline`` = ``details["fraction_of_achievable"]``: measured step
+                      time as a fraction of this program's ACHIEVABLE speed
+                      of light, whose walls are THIS chip's measured
+                      STREAM/matmul peaks (scripts/calibrate_roofline.py).
+Field history (each change was an honesty fix; the key's meaning is frozen
+as of round 5 so the BENCH_r* series stays self-comparable):
+    r1: vs_baseline = ratio to an ASSUMED TF1-V100 170 img/s [K-lo]
+        (now details["vs_assumed_tf1_v100_170ips"]).
+    r2-r3: fraction of SPEC speed of light — max(FLOPs/197TF, fused-graph
+        bytes/819GB/s), where graph bytes are the fused graph's unique
+        operand+output traffic, not the cost model's logical bytes (which
+        overcounted to an impossible 103% HBM utilization in round 2)
+        (now details["fraction_of_speed_of_light"]).
+    r4+: fraction of MEASURED-ACHIEVABLE speed of light (frozen).
 """
 
 import io
@@ -325,12 +333,11 @@ def bench_loader_fed():
     return out
 
 
-def main():
-    details = bench_compute()
-    try:
-        details.update(bench_loader_fed())
-    except Exception as exc:  # loader-fed is best-effort (needs g++/libjpeg)
-        details["loader_fed_error"] = f"{type(exc).__name__}: {exc}"
+def assemble_output(details: dict) -> dict:
+    """The FROZEN headline contract (see module docstring; schema-tested by
+    tests/test_bench_schema.py): value = absolute train img/s/chip,
+    vs_baseline = fraction_of_achievable."""
+    details = dict(details)
     details["vs_assumed_tf1_v100_170ips"] = round(
         details["train_ips"] / BASELINE_TRAIN_IPS, 3)
     details["baseline_note"] = (
@@ -341,14 +348,23 @@ def main():
         f"{PEAK_HBM_GBPS}GB/s)) stays in fraction_of_speed_of_light; the "
         "old 170 img/s assumed-TF1 ratio [K-lo] lives in "
         "vs_assumed_tf1_v100_170ips")
-    print(json.dumps({
+    return {
         "metric": "assemble_resnet50_train_images_per_sec_per_chip",
         "value": details["train_ips"],
         "unit": "images/sec/chip",
         "vs_baseline": details.get("fraction_of_achievable",
                                    details["fraction_of_speed_of_light"]),
         "details": details,
-    }))
+    }
+
+
+def main():
+    details = bench_compute()
+    try:
+        details.update(bench_loader_fed())
+    except Exception as exc:  # loader-fed is best-effort (needs g++/libjpeg)
+        details["loader_fed_error"] = f"{type(exc).__name__}: {exc}"
+    print(json.dumps(assemble_output(details)))
 
 
 if __name__ == "__main__":

@@ -58,6 +58,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from axcnn.utils.cache import cache_dir  # noqa: E402
+
 import numpy as np
 from PIL import Image
 
@@ -150,7 +152,10 @@ def make_set_1k(root, n_train, n_eval, seed):
     """1000-class set; stored labels 0..999 (the CLI adds label_offset=1)."""
     from axcnn.data.build_tfrecords import write_shards
 
-    out = os.path.join(root, "rec")
+    # the 24/3 set keeps its round-4 location ("rec"); other sizes get
+    # their own shard dir so two sizes never mix in one directory
+    out = os.path.join(root, "rec" if (n_train, n_eval) == (N_TRAIN, N_EVAL)
+                       else f"rec_{n_train}_{n_eval}")
     marker = os.path.join(out, f"ok-1k-{n_train}-{n_eval}")
     if os.path.exists(marker):
         return out
@@ -185,13 +190,14 @@ def make_set_1k(root, n_train, n_eval, seed):
     return out
 
 
+
 def cli(args, tag, retries=2):
     """Run the CLI; on the watchdog's exit code 42 (hung device dispatch,
     utils/watchdog.py) re-invoke — the loop auto-resumes from the last
     periodic checkpoint. Any other nonzero exit is a real failure."""
     cmd = [sys.executable, "-m", "axcnn.cli.main_classification"] + args
     env = dict(os.environ,
-               JAX_COMPILATION_CACHE_DIR="/root/.cache/axcnn_jax_cache")
+               JAX_COMPILATION_CACHE_DIR=cache_dir())
     for attempt in range(retries + 1):
         print(f"[{tag}] $ {' '.join(cmd)}", flush=True)
         t0 = time.time()
@@ -222,11 +228,17 @@ def metrics(model_dir):
 def main():
     steps = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000
     root = sys.argv[2] if len(sys.argv) > 2 else "/tmp/axcnn_drive_1k"
+    # per-class train count (argv 3): 24 = the round-4 run; 48 doubles the
+    # set (48k images) to shorten the extrapolation toward ImageNet scale
+    # (VERDICT r4 next-round #8)
+    n_per_class = int(sys.argv[3]) if len(sys.argv) > 3 else N_TRAIN
     os.makedirs(root, exist_ok=True)
 
-    data_dir = make_set_1k(root, N_TRAIN, N_EVAL, seed=0)
-    n_train, n_eval = N_TRAIN * 1000, N_EVAL * 1000
-    model_dir = os.path.join(root, f"run_{steps}")
+    data_dir = make_set_1k(root, n_per_class, N_EVAL, seed=0)
+    n_train, n_eval = n_per_class * 1000, N_EVAL * 1000
+    model_dir = os.path.join(root, f"run_{steps}"
+                             + (f"_n{n_per_class}"
+                                if n_per_class != N_TRAIN else ""))
 
     def _train_complete():
         """True once the run's OWN final eval was logged (the loop evals at
@@ -314,9 +326,17 @@ def main():
     assert ema1 >= TOP1_BAR, f"EMA top-1 {ema1} < {TOP1_BAR} on 1001-way"
     assert results["raw"]["top5"] >= TOP5_BAR, results["raw"]
     assert results["ema"]["top5"] >= TOP5_BAR, results["ema"]
-    assert ema1 >= raw1 - EMA_LAG_TOL, \
-        f"EMA lags raw beyond the one-time-constant tolerance: " \
-        f"{ema1} vs {raw1} (tol {EMA_LAG_TOL})"
+    # The lag tolerance exists ONLY for the one-time-constant horizon
+    # (10k updates at decay 0.9999): there the shadow still carries
+    # mid-training mass and raw may lead. At >= 3 time constants the
+    # average is over converged weights — the regime the reference ships
+    # EMA eval FOR — so the production constant must WIN outright
+    # (VERDICT r4 next-round #3: measure the crossover, don't tolerate it).
+    time_constants = steps * (1.0 - 0.9999) if steps else 0.0
+    ema_tol = EMA_LAG_TOL if time_constants < 3.0 else 0.0
+    assert ema1 >= raw1 - ema_tol, \
+        f"EMA vs raw at {time_constants:.1f} time constants: " \
+        f"{ema1} vs {raw1} (tol {ema_tol})"
     print("1001-WAY CONVERGENCE DRIVE (contract head geometry, literal CLI) "
           "OK", flush=True)
 

@@ -46,9 +46,11 @@ from PIL import Image
 
 import jax
 
+from axcnn.utils.cache import cache_dir  # noqa: E402
+
 # persistent compile cache: the cold compile of the full train step takes
 # minutes through the tunnel and looks like a hang without it
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/axcnn_jax_cache")
+jax.config.update("jax_compilation_cache_dir", cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

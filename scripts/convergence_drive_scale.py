@@ -45,7 +45,9 @@ from PIL import Image
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir", "/root/.cache/axcnn_jax_cache")
+from axcnn.utils.cache import cache_dir  # noqa: E402
+
+jax.config.update("jax_compilation_cache_dir", cache_dir())
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

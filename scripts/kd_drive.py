@@ -52,6 +52,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from axcnn.utils.cache import cache_dir  # noqa: E402
+
 from convergence_drive_scale import HUES, PATTERNS, make_set
 
 TEACHER_STEPS = 2500
@@ -109,12 +111,13 @@ def make_subset(full_root, out_root, n_per_class, noise_frac=0.0,
     return out, info
 
 
+
 def cli(args, tag):
     cmd = [sys.executable, "-m", "axcnn.cli.main_classification"] + args
     print(f"[{tag}] $ {' '.join(cmd)}", flush=True)
     t0 = time.time()
     env = dict(os.environ,
-               JAX_COMPILATION_CACHE_DIR="/root/.cache/axcnn_jax_cache")
+               JAX_COMPILATION_CACHE_DIR=cache_dir())
     r = subprocess.run(cmd, env=env)
     print(f"[{tag}] exit={r.returncode} in {time.time() - t0:.0f}s",
           flush=True)

@@ -27,6 +27,8 @@ import time
 
 import numpy as np
 
+from axcnn.utils.cache import cache_dir  # noqa: E402
+
 
 def time_step(batch_size, *, compiler_options=None, pallas_mode=None,
               sk_merged=False, warm=3, timed=10):
@@ -84,7 +86,7 @@ def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
-                      "/root/.cache/axcnn_jax_cache")
+                      cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

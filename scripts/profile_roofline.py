@@ -32,6 +32,8 @@ import time
 
 import numpy as np
 
+from axcnn.utils.cache import cache_dir  # noqa: E402
+
 DTYPE_BYTES = {
     "pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "f16": 2, "bf16": 2,
     "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8, "f64": 8, "c64": 8,
@@ -265,7 +267,7 @@ def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir",
-                      "/root/.cache/axcnn_jax_cache")
+                      cache_dir())
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 

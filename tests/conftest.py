@@ -14,7 +14,10 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 # This machine has 1 CPU core and ~0.8s XLA compile latency per op; cache
 # every compiled executable so test reruns skip compilation entirely.
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.cache/axcnn_jax_cache")
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.environ.get("AXCNN_CACHE_DIR",
+                   os.path.expanduser("~/.cache/axcnn_jax_cache")))
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 

@@ -11,12 +11,14 @@ import os
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from axcnn.utils.cache import cache_dir  # noqa: E402
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 # Reuse the parent suite's compile cache: the 1-core box takes minutes to
 # compile the train step cold, and the test's "first train step" deadline
 # assumes a warm cache.
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
-                      "/root/.cache/axcnn_jax_cache")
+                      cache_dir())
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "-1")
 

@@ -27,6 +27,9 @@ from axcnn.train.schedules import make_lr_schedule
 from axcnn.train.train_step import (create_train_state, make_eval_step,
                                     make_train_step)
 
+# hierarchical two-level mesh integration — release tier; `-m 'not slow'` is the dev loop
+pytestmark = pytest.mark.slow
+
 SMALL = ModelConfig(resnet_size=50, num_classes=10)
 
 

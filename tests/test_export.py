@@ -10,6 +10,9 @@ from axcnn.core.dtypes import DEFAULT_POLICY
 from axcnn.models.resnet import ModelConfig, resnet_init, resnet_apply
 from axcnn.data.preprocessing import normalize_device
 
+# StableHLO export/reload round-trips — release tier; `-m 'not slow'` is the dev loop
+pytestmark = pytest.mark.slow
+
 
 class TestExport:
     def test_roundtrip_matches_direct(self, tmp_path):

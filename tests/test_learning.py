@@ -20,6 +20,9 @@ from axcnn.train.schedules import make_lr_schedule
 from axcnn.train.train_step import (
     create_train_state, make_train_step, make_eval_step, pad_batch)
 
+# end-to-end learnability (minutes-per-test compiles) — release tier; `-m 'not slow'` is the dev loop
+pytestmark = pytest.mark.slow
+
 
 def _make_color_dataset(tmp_path, n_per_class=24):
     """class 1 = red-dominant, class 2 = blue-dominant images."""

@@ -13,6 +13,9 @@ import jax
 from axcnn.models.resnet import ModelConfig
 from axcnn.utils.config import Config, DataConfig, TrainConfig, RuntimeConfig
 
+# full run-loop integration (train/eval/resume/export) — release tier; `-m 'not slow'` is the dev loop
+pytestmark = pytest.mark.slow
+
 
 def _tiny_cfg(tmp_path, **train_kw):
     train = dict(batch_size=4, train_steps=2, base_lr=0.01, lr_warmup_epochs=0,

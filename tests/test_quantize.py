@@ -84,6 +84,7 @@ class TestInt8Policy:
         assert not policy_from_name("bf16").quantize_conv
         assert not DEFAULT_POLICY.quantize_conv
 
+    @pytest.mark.slow  # full-model fwd compile x2
     def test_model_forward_int8_tracks_fp32(self):
         """Full assembled forward under the int8 policy: logits stay close
         to the fp32 policy's (direction-wise) on a random-init model."""

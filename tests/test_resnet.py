@@ -138,6 +138,7 @@ class TestPolicies:
         assert y.shape == (1, 1000)
 
 
+@pytest.mark.slow  # minutes-long grad compiles per remat mode
 class TestRemat:
     """ModelConfig.remat must be semantically exact: evaluated eagerly (no
     XLA rescheduling), forward, new BN state, and gradients are bit-equal

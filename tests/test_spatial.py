@@ -23,8 +23,9 @@ from axcnn.train.schedules import make_lr_schedule
 from axcnn.train.train_step import (create_train_state, make_eval_step,
                                     make_train_step)
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs the 8-virtual-device CPU mesh")
+# 8-device GSPMD integration — release tier; `-m 'not slow'` is the dev loop
+pytestmark = [pytest.mark.slow, pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs the 8-virtual-device CPU mesh")]
 
 # the FULL assembled stochastic stack: SK and DropBlock included (VERDICT r2
 # weak #3 — the shipped spatial config must be the validated one). DropBlock's

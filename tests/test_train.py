@@ -20,6 +20,9 @@ from axcnn.train.train_step import (
 from axcnn.train.schedules import make_lr_schedule
 from axcnn.parallel.mesh import make_mesh, shard_train_step, shard_eval_step, shard_batch, DATA_AXIS
 
+# train-step integration (DP/grad-accum/KD/checkpoint) — release tier; `-m 'not slow'` is the dev loop
+pytestmark = pytest.mark.slow
+
 
 SMALL = ModelConfig(resnet_size=50, num_classes=10)
 

@@ -8,6 +8,10 @@ from axcnn.data.autoaugment_device import make_device_autoaugment
 from axcnn.models.resnet import ModelConfig
 from axcnn.train.schedules import make_lr_schedule
 from axcnn.train.train_step import create_train_state, make_train_step
+import pytest
+
+# train step with on-device AutoAugment — release tier; `-m 'not slow'` is the dev loop
+pytestmark = pytest.mark.slow
 
 SMALL = ModelConfig(resnet_size=50, num_classes=10)
 

@@ -11,6 +11,8 @@ must be stopped by the loop's ``finally``).
 import threading
 import time
 
+import pytest
+
 from axcnn.utils.watchdog import HANG_EXIT_CODE, HangWatchdog
 
 
@@ -73,6 +75,52 @@ class TestHangWatchdog:
         assert HANG_EXIT_CODE not in (0, 1, 2)
 
 
+class TestExitAfter:
+    """exit_after must reach os._exit even when the log itself wedges —
+    round-4 review Weak #8: a hang in the filesystem/TB layer blocking the
+    hang-record write used to neutralize the exit it guards."""
+
+    def _run(self, body, timeout):
+        import subprocess
+        import sys
+        import textwrap
+
+        code = ("from axcnn.utils.watchdog import exit_after\n"
+                + textwrap.dedent(body))
+        return subprocess.run([sys.executable, "-c", code],
+                              capture_output=True, text=True, timeout=timeout)
+
+    def test_exits_despite_blocking_logger(self):
+        r = self._run("""
+            import threading
+            def blocked_log():
+                threading.Event().wait()  # a wedged filesystem write
+            exit_after(blocked_log, timeout_s=0.2)
+            print("UNREACHABLE")
+        """, timeout=30)
+        assert r.returncode == 42, (r.returncode, r.stdout, r.stderr)
+        assert "UNREACHABLE" not in r.stdout
+
+    def test_exits_despite_raising_logger(self):
+        r = self._run("""
+            def bad_log():
+                raise OSError("disk gone")
+            exit_after(bad_log, timeout_s=1.0)
+        """, timeout=30)
+        assert r.returncode == 42, (r.returncode, r.stdout, r.stderr)
+
+    def test_log_lands_when_healthy(self, tmp_path):
+        out = tmp_path / "rec.txt"
+        r = self._run(f"""
+            def ok_log():
+                open({str(out)!r}, "w").write("hang_detected")
+            exit_after(ok_log, timeout_s=5.0, exit_code=7)
+        """, timeout=30)
+        assert r.returncode == 7
+        assert out.read_text() == "hang_detected"
+
+
+@pytest.mark.slow  # drives the real run loop
 class TestLoopWiring:
     def test_healthy_run_completes_with_watchdog(self, tmp_path):
         """A normal tiny run with the knob on: completes, logs train/eval
