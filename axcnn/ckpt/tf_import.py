@@ -59,8 +59,8 @@ def expected_tf_names(cfg: ModelConfig, params, state):
     """Walk (params, state) in creation order; returns
     [(tf_name, our_path, shape)] for conv/BN/dense variables.
 
-    Big-Little stages follow OUR creation order (big blocks, little blocks,
-    little-projection conv+BN, transition block — models/resnet.py
+    Big-Little stages follow OUR creation order (entry block, big blocks,
+    little blocks, little-projection conv+BN — models/resnet.py
     ``_bl_stage_init``); the upstream BL variable layout is [K-med]
     (SURVEY.md §0), so as with the rest of the scheme the contract is
     "TF-official auto-numbering over this creation order", validated
@@ -123,6 +123,7 @@ def expected_tf_names(cfg: ModelConfig, params, state):
         sname = f"stage{s_idx + 1}"
         sp, ss = params[sname], state[sname]
         if cfg.use_bl and s_idx in _BL_STAGES:
+            emit_block(f"{sname}/entry", sp["entry"], ss["entry"])
             for branch in ("big", "little"):
                 for b_idx in range(len(sp[branch])):
                     emit_block(f"{sname}/{branch}/block{b_idx}",
@@ -131,7 +132,6 @@ def expected_tf_names(cfg: ModelConfig, params, state):
             conv(f"{sname}/little_proj", sp["little_proj"])
             bn(f"{sname}/little_proj_bn", sp["little_proj_bn"],
                ss["little_proj_bn"])
-            emit_block(f"{sname}/trans", sp["trans"], ss["trans"])
             continue
         for b_idx in range(cfg.blocks[s_idx]):
             bname = f"block{b_idx}"

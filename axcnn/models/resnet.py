@@ -181,14 +181,25 @@ def _block_init(key, cfg: ModelConfig, in_ch, filters, *, has_proj, dtype):
 # Big-Little stages (bL-Net, Chen et al. 2019; reference flags bl_alpha /
 # bl_beta — upstream wiring tagged K-med in SURVEY.md §0, so this follows the
 # published bL-ResNet recipe):
-#   Big branch   : the stage's blocks at HALF resolution (first block does the
-#                  stride-2), full width — heavy compute on small maps.
-#   Little branch: max(1, n//beta) blocks at FULL resolution, width/alpha,
-#                  then a 1x1 conv+BN up to the stage width.
-#   Merge        : nearest-upsample big to full res, add, ReLU; then one
-#                  stride-2 transition block produces the stage output.
+#   Entry        : the stage's normal stride-2 projection block — input res R
+#                  down to S, the resolution a STANDARD stage's blocks run at.
+#   Big branch   : n-1 blocks ONE OCTAVE BELOW the stage resolution (first
+#                  block strides S -> S/2), full width — the paper's FLOP cut:
+#                  the bulk of the stage's blocks run at 1/4 the baseline cost.
+#   Little branch: max(1, n//beta) blocks at the stage resolution S,
+#                  width/alpha, then a 1x1 conv+BN up to the stage width.
+#   Merge        : nearest-upsample big back to S, add, ReLU.
 # Applied to stages 2-3 (stage 1 has no stride; stage 4's maps are already
 # small — matching the paper's placement).
+#
+# Costing note (why the octaves are placed this way): an earlier wiring ran
+# the little branch and a full-width transition block at the PRE-stride
+# resolution and the big branch at the stage's normal resolution — measured
+# 1.56x the FLOPs of its own bl_alpha=0 ablation (860 vs 552 fwd GFLOPs at
+# b64/224², 50.3 vs 30.6 ms/step on the chip), i.e. an octave too expensive
+# everywhere and no cut at all. With the stride at module entry and big one
+# octave below normal, the module costs ~(1 + (n-1)/4 + (n/beta)/alpha²)/n
+# of the baseline stage — the paper's advertised reduction.
 # ---------------------------------------------------------------------------
 
 _BL_STAGES = (1, 2)  # 0-indexed stage ids that get the dual branches
@@ -207,29 +218,32 @@ def _bl_stage_init(key, cfg: ModelConfig, in_ch: int, filters: int,
     keys = jax.random.split(key, 4)
     params, state = {}, {}
 
+    # entry: the stage's normal stride-2 projection block (R -> S)
+    params["entry"], state["entry"] = _block_init(
+        keys[0], cfg, in_ch, filters, has_proj=True, dtype=dtype)
+
+    # big: n-1 blocks one octave below the stage resolution; the first
+    # strides S -> S/2 and projects (channels stay out_ch)
     bp, bs_ = {}, {}
-    ch = in_ch
-    block_keys = jax.random.split(keys[0], max(n_blocks - 1, 1))
-    for b in range(max(n_blocks - 1, 1)):
+    n_big = max(n_blocks - 1, 1)
+    block_keys = jax.random.split(keys[1], n_big)
+    for b in range(n_big):
         bp[f"block{b}"], bs_[f"block{b}"] = _block_init(
-            block_keys[b], cfg, ch, filters, has_proj=b == 0, dtype=dtype)
-        ch = out_ch
+            block_keys[b], cfg, out_ch, filters, has_proj=b == 0, dtype=dtype)
     params["big"], state["big"] = bp, bs_
 
+    # little: thin blocks at the stage resolution S
     lp, ls = {}, {}
-    ch = in_ch
-    little_keys = jax.random.split(keys[1], n_little)
+    ch = out_ch
+    little_keys = jax.random.split(keys[2], n_little)
     for b in range(n_little):
         lp[f"block{b}"], ls[f"block{b}"] = _block_init(
             little_keys[b], cfg, ch, lf, has_proj=b == 0, dtype=dtype)
         ch = l_out
     params["little"], state["little"] = lp, ls
 
-    params["little_proj"] = conv_init(keys[2], 1, l_out, out_ch, dtype=dtype)
+    params["little_proj"] = conv_init(keys[3], 1, l_out, out_ch, dtype=dtype)
     params["little_proj_bn"], state["little_proj_bn"] = bn_init(out_ch, dtype=dtype)
-
-    params["trans"], state["trans"] = _block_init(
-        keys[3], cfg, out_ch, filters, has_proj=True, dtype=dtype)
     return params, state
 
 
@@ -246,6 +260,8 @@ def _bl_stage_apply(params, state, x, cfg: ModelConfig, *, train, policy,
                 axis_name=axis_name),
             cfg, train)
         return fn(p, st, h)
+
+    x, new_state["entry"] = _blk(params["entry"], state["entry"], x, 2)
 
     big = x
     for b in range(len(params["big"])):
@@ -266,10 +282,7 @@ def _bl_stage_apply(params, state, x, cfg: ModelConfig, *, train, policy,
 
     n, hh, ww, c = little.shape
     big_up = jax.image.resize(big, (n, hh, ww, c), method="nearest")
-    merged = jax.nn.relu(big_up + little)
-
-    out, new_state["trans"] = _blk(params["trans"], state["trans"], merged, 2)
-    return out, new_state
+    return jax.nn.relu(big_up + little), new_state
 
 
 def resnet_init(key, cfg: ModelConfig, *, dtype=jnp.float32):

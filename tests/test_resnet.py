@@ -100,9 +100,9 @@ class TestAssemblyKnobs:
         (logits, _), (params, _) = _fwd(cfg, size=64)
         assert logits.shape == (2, 1000)
         assert np.all(np.isfinite(np.asarray(logits)))
-        # bL stages 2-3 have dual branches + transition block
+        # bL stages 2-3 have an entry block + dual branches
         s2 = params["stage2"]
-        assert "big" in s2 and "little" in s2 and "trans" in s2
+        assert "big" in s2 and "little" in s2 and "entry" in s2
         assert "block0" in params["stage1"]  # stage 1 stays standard
         assert "block0" in params["stage4"]  # stage 4 stays standard
 

@@ -140,18 +140,21 @@ def _block(x, filters, stride, *, assembled, force_proj=False):
 
 def _bl_stage(x, filters, n_blocks, *, assembled, alpha, beta):
     """Mirror of models/resnet.py _bl_stage_apply in raw TF ops, with
-    variables created in the same order (big, little, little_proj, trans)."""
+    variables created in the same order (entry, big, little, little_proj)."""
     lf = max(filters // alpha, 16)
+    x = _block(x, filters, 2, assembled=assembled)  # entry: R -> S
     big = x
     for b in range(max(n_blocks - 1, 1)):
-        big = _block(big, filters, 2 if b == 0 else 1, assembled=assembled)
+        # one octave below the stage resolution; first block projects at
+        # unchanged channel count (force_proj mirrors has_proj=(b==0))
+        big = _block(big, filters, 2 if b == 0 else 1, assembled=assembled,
+                     force_proj=b == 0)
     little = x
     for b in range(max(1, n_blocks // beta)):
         little = _block(little, lf, 1, assembled=assembled, force_proj=b == 0)
     little = _bn(_conv(little, filters * 4, 1, 1))
     big_up = tf.repeat(tf.repeat(big, 2, axis=1), 2, axis=2)  # nearest x2
-    merged = tf.nn.relu(big_up + little)
-    return _block(merged, filters, 2, assembled=assembled)
+    return tf.nn.relu(big_up + little)
 
 
 def _tf_model(x, blocks, num_classes, *, assembled, bl=0):
