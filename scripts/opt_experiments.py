@@ -31,7 +31,8 @@ from axcnn.utils.cache import cache_dir  # noqa: E402
 
 
 def time_step(batch_size, *, compiler_options=None, pallas_mode=None,
-              sk_merged=False, warm=3, timed=10):
+              sk_merged=False, scan_blocks=False, resnet_size=50,
+              warm=3, timed=10):
     import jax
 
     from axcnn.ops import dispatch
@@ -46,9 +47,9 @@ def time_step(batch_size, *, compiler_options=None, pallas_mode=None,
         from axcnn.train.train_step import create_train_state, make_train_step
 
         cfg = ModelConfig(
-            resnet_size=50, num_classes=1000,
+            resnet_size=resnet_size, num_classes=1000,
             use_resnet_d=True, use_se_block=True, use_sk_block=True,
-            sk_merged_conv=sk_merged,
+            sk_merged_conv=sk_merged, scan_blocks=scan_blocks,
             anti_alias_type="sconv", use_dropblock=True, zero_gamma=True)
         state = create_train_state(jax.random.key(0), cfg, use_ema=True)
         rng = np.random.default_rng(0)
@@ -65,8 +66,10 @@ def time_step(batch_size, *, compiler_options=None, pallas_mode=None,
             mixup_alpha=0.2, weight_decay=1e-4, use_ema=True)
         lowered = jax.jit(step, donate_argnums=(0,)).lower(
             state, data, jax.random.key(1))
+        t_c = time.perf_counter()
         compiled = lowered.compile(compiler_options=compiler_options) \
             if compiler_options else lowered.compile()
+        compile_s = time.perf_counter() - t_c
         key = jax.random.key(1)
         for _ in range(warm):
             state, metrics = compiled(state, data, key)
@@ -77,7 +80,8 @@ def time_step(batch_size, *, compiler_options=None, pallas_mode=None,
         float(metrics["loss"])
         dt = (time.perf_counter() - t0) / timed
         return {"step_ms": round(dt * 1e3, 2),
-                "images_per_sec": round(batch_size / dt, 1)}
+                "images_per_sec": round(batch_size / dt, 1),
+                "compile_s": round(compile_s, 1)}
     finally:
         dispatch.set_pallas_mode(old_mode)
 
@@ -107,6 +111,19 @@ def main():
     # 25/18x MXU zero-tap FLOPs) — numerically identical (tests/test_ops.py)
     results["sk_merged_b128"] = time_step(128, sk_merged=True)
     print(f"sk_merged_b128: {results['sk_merged_b128']}", flush=True)
+
+    # scan_blocks (models/resnet.py): the compile-time lever. Record BOTH
+    # sides of the trade on the chip: step time (scan adds per-iteration
+    # bookkeeping and blocks cross-block scheduling) and compile wall time
+    # (one tail body per stage instead of one per block). compile_s is only
+    # meaningful on a cold persistent cache — the JSON records it per run.
+    for name, kw in (("scan_r50_b128", dict(scan_blocks=True)),
+                     ("unrolled_r152_b64", dict(resnet_size=152)),
+                     ("scan_r152_b64", dict(resnet_size=152,
+                                            scan_blocks=True))):
+        b = 64 if "r152" in name else 128
+        results[name] = time_step(b, **kw)
+        print(f"{name}: {results[name]}", flush=True)
 
     if not args.skip_flags:
         flag_sets = {
