@@ -1,6 +1,15 @@
 """Assemble-ResNet-152 with knowledge distillation — BASELINE config 5
 (data-parallel ImageNet training on v5e-8). Set
-``--train.kd_teacher_checkpoint`` to a trained Assemble-ResNet-50/152 run."""
+``--train.kd_teacher_checkpoint`` to a trained Assemble-ResNet-50/152 run.
+
+Recipe risk, measured (scripts/kd_drive.py, docs/CONVERGENCE.md round 4):
+the T²·KL term roughly HALVES the maximum stable learning rate — at the
+CE-stable base LR the KD run diverged while every CE control trained.
+If loss spikes early with KD enabled, halve ``train.base_lr`` (or double
+warmup) before touching anything else. KD's win also depends on the
+label regime: under 40% label noise it beat the best per-LR CE control
+by +28.2 held-out top-1, but on clean easily-separable data it was
+neutral-to-harmful at equal budget (both results recorded)."""
 
 from axcnn.models.resnet import ModelConfig
 from axcnn.utils.config import Config, DataConfig, TrainConfig, RuntimeConfig
